@@ -1,0 +1,364 @@
+"""TPU-native big-integer modular arithmetic on u32 digit planes.
+
+Design (see SURVEY.md §7 "core representation decision"):
+
+* A field element is a little-endian vector of ``D`` radix-``2^16`` digits
+  stored in a ``uint32`` array of shape ``(..., D)`` — Fr has D=16,
+  Fp has D=24.  All arithmetic stays inside native u32 vector lanes:
+  16x16-bit digit products fit u32 exactly, and delayed-carry column
+  accumulation keeps every intermediate below 2^23, so no 64-bit types are
+  ever needed (TPUs have no native u64).
+
+* Elements are kept in Montgomery form (R = 2^(16 D) mod N) exactly like
+  the reference's blst backend keeps blst_fr/blst_fp (reference:
+  src/bls.rs:80-106), converting only at the byte-codec boundary.
+
+* Every function is shape-polymorphic over leading batch dimensions and
+  jit/vmap/shard_map friendly: no data-dependent control flow, fixed-shape
+  unrolled digit loops (D is a small static constant).
+
+The same machinery instantiates both fields (and, by composition, the
+Fp2/Fp6/Fp12 tower): replacing the reference's entire blst Fr/Fp symbol
+surface (bls.rs:8-19) with XLA-fusable vector code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+DIGIT_BITS = 16
+DIGIT_MASK = (1 << DIGIT_BITS) - 1
+
+
+def int_to_digits(v: int, n_digits: int) -> np.ndarray:
+    """Python int -> little-endian radix-2^16 digit vector (host side)."""
+    out = np.zeros((n_digits,), dtype=np.uint32)
+    for i in range(n_digits):
+        out[i] = (v >> (DIGIT_BITS * i)) & DIGIT_MASK
+    assert v >> (DIGIT_BITS * n_digits) == 0, "value does not fit"
+    return out
+
+
+def digits_to_int(d) -> int:
+    """Digit vector (1-D) -> Python int (host side, for tests/debug)."""
+    d = np.asarray(d, dtype=np.uint64)
+    return sum(int(x) << (DIGIT_BITS * i) for i, x in enumerate(d))
+
+
+@dataclass(frozen=True, eq=False)  # eq=False: identity hash, so specs can
+# be jit static arguments despite ndarray fields
+class FieldSpec:
+    """Static description of a prime field in digit-plane representation."""
+
+    name: str
+    modulus: int
+    n_digits: int
+    # derived numpy constants (filled in __post_init__)
+    mod_digits: np.ndarray = field(init=False, repr=False)
+    r_mod_n: int = field(init=False, repr=False)
+    r2: int = field(init=False, repr=False)
+    n0inv: int = field(init=False, repr=False)
+    one_mont: np.ndarray = field(init=False, repr=False)
+    r2_digits: np.ndarray = field(init=False, repr=False)
+    zero: np.ndarray = field(init=False, repr=False)
+
+    def __post_init__(self):
+        N, D = self.modulus, self.n_digits
+        assert N % 2 == 1
+        R = 1 << (DIGIT_BITS * D)
+        assert N < R
+        object.__setattr__(self, "mod_digits", int_to_digits(N, D))
+        object.__setattr__(self, "r_mod_n", R % N)
+        object.__setattr__(self, "r2", R * R % N)
+        object.__setattr__(self, "n0inv", (-pow(N, -1, 1 << DIGIT_BITS)) % (1 << DIGIT_BITS))
+        object.__setattr__(self, "one_mont", int_to_digits(R % N, D))
+        object.__setattr__(self, "r2_digits", int_to_digits(R * R % N, D))
+        object.__setattr__(self, "zero", np.zeros((D,), dtype=np.uint32))
+
+    # -- host-side codecs (tests / setup loading) ---------------------------
+
+    def from_int(self, v: int, mont: bool = True) -> np.ndarray:
+        v %= self.modulus
+        if mont:
+            v = v * (1 << (DIGIT_BITS * self.n_digits)) % self.modulus
+        return int_to_digits(v, self.n_digits)
+
+    def to_int(self, d, mont: bool = True) -> int:
+        v = digits_to_int(d)
+        if mont:
+            v = v * pow(1 << (DIGIT_BITS * self.n_digits), -1, self.modulus) % self.modulus
+        return v % self.modulus
+
+
+# ---------------------------------------------------------------------------
+# carry / borrow machinery
+# ---------------------------------------------------------------------------
+
+def carry_pass(t: jax.Array) -> jax.Array:
+    """Full sequential carry propagation; result digits < 2^16.
+
+    Input digits may be up to ~2^23 (delayed-carry columns); the final
+    carry out of the top digit is DROPPED (callers must ensure it is zero).
+    """
+    D = t.shape[-1]
+    out = []
+    c = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
+    for i in range(D):
+        s = t[..., i] + c
+        out.append(s & DIGIT_MASK)
+        c = s >> DIGIT_BITS
+    return jnp.stack(out, axis=-1)
+
+
+def _geq(a: jax.Array, n_digits: np.ndarray) -> jax.Array:
+    """a >= N (both canonical digit vectors); returns bool (...,)."""
+    n = jnp.asarray(n_digits, dtype=jnp.uint32)
+    # lexicographic compare from most significant digit
+    gt = a[..., -1] > n[..., -1]
+    eq = a[..., -1] == n[..., -1]
+    for i in range(a.shape[-1] - 2, -1, -1):
+        gt = gt | (eq & (a[..., i] > n[i]))
+        eq = eq & (a[..., i] == n[i])
+    return gt | eq
+
+
+def _sub_digits(a: jax.Array, b: jax.Array):
+    """(a - b) with borrow chain; returns (diff, borrow_out)."""
+    D = a.shape[-1]
+    out = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    for i in range(D):
+        t = a[..., i] + jnp.uint32(1 << DIGIT_BITS) - b[..., i] - borrow
+        out.append(t & DIGIT_MASK)
+        borrow = jnp.uint32(1) - (t >> DIGIT_BITS)
+    return jnp.stack(out, axis=-1), borrow
+
+
+def cond_sub_mod(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """If a >= N subtract N (a must be < 2N and canonical-digit)."""
+    n = jnp.asarray(spec.mod_digits, dtype=jnp.uint32)
+    diff, borrow = _sub_digits(a, jnp.broadcast_to(n, a.shape))
+    take_diff = borrow == 0  # no underflow => a >= N
+    return jnp.where(take_diff[..., None], diff, a)
+
+
+# ---------------------------------------------------------------------------
+# field ops (Montgomery domain unless stated otherwise)
+# ---------------------------------------------------------------------------
+
+def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a + b) mod N; replaces blst_fr_add / blst_fp_add."""
+    s = carry_pass(a + b)
+    return cond_sub_mod(spec, s)
+
+
+def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a - b) mod N; replaces blst_fr_sub."""
+    diff, borrow = _sub_digits(a, b)
+    n = jnp.asarray(spec.mod_digits, dtype=jnp.uint32)
+    fixed = carry_pass(diff + n)
+    return jnp.where((borrow == 1)[..., None], fixed, diff)
+
+
+def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """(-a) mod N; replaces blst_fr_cneg(flag=true)."""
+    n = jnp.asarray(spec.mod_digits, dtype=jnp.uint32)
+    diff, _ = _sub_digits(jnp.broadcast_to(n, a.shape), a)
+    # -0 must stay 0
+    return jnp.where(is_zero(a)[..., None], a, diff)
+
+
+def is_zero(a: jax.Array) -> jax.Array:
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(a == b, axis=-1)
+
+
+def lt_modulus(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Canonicality check a < N (replaces blst_scalar_fr_check)."""
+    return ~_geq(a, spec.mod_digits)
+
+
+def _mul_columns(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Full product as delayed-carry columns: (..., 2D) with digits < 2^23.
+
+    Column accumulation of 16-bit lo/hi halves of all digit products; every
+    column receives at most 2D values < 2^16, so sums stay far below u32
+    overflow (2D <= 48 => < 2^22).
+    """
+    D = a.shape[-1]
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    acc = jnp.zeros((*shape, 2 * D + 1), dtype=jnp.uint32)
+    for i in range(D):
+        p = a[..., i : i + 1] * b  # (..., D) exact u32 products
+        lo = p & DIGIT_MASK
+        hi = p >> DIGIT_BITS
+        acc = acc.at[..., i : i + D].add(lo)
+        acc = acc.at[..., i + 1 : i + D + 1].add(hi)
+    return acc[..., : 2 * D]
+
+
+def mont_reduce(spec: FieldSpec, t: jax.Array) -> jax.Array:
+    """Montgomery reduction of delayed-carry columns t (..., 2D) -> (..., D).
+
+    Word-by-word REDC with a running dead-column carry so the low digit is
+    always exact when the next quotient word m is computed.
+    """
+    D = spec.n_digits
+    n = jnp.asarray(spec.mod_digits, dtype=jnp.uint32)
+    n0inv = jnp.uint32(spec.n0inv)
+    acc = t
+    for i in range(D):
+        m = (acc[..., i] * n0inv) & DIGIT_MASK
+        p = m[..., None] * n  # (..., D)
+        lo = p & DIGIT_MASK
+        hi = p >> DIGIT_BITS
+        acc = acc.at[..., i : i + D].add(lo)
+        acc = acc.at[..., i + 1 : i + D + 1].add(hi)
+        # dead column: propagate its full carry into the next column
+        acc = acc.at[..., i + 1].add(acc[..., i] >> DIGIT_BITS)
+    hi_half = carry_pass(acc[..., D : 2 * D])
+    return cond_sub_mod(spec, hi_half)
+
+
+def mont_mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Montgomery product abR^-1 mod N; replaces blst_fr_mul / blst_fp_mul."""
+    D = spec.n_digits
+    cols = _mul_columns(a, b)
+    # pad one slot so mont_reduce's hi writes stay in range
+    cols = jnp.concatenate(
+        [cols, jnp.zeros((*cols.shape[:-1], 1), dtype=jnp.uint32)], axis=-1
+    )
+    return mont_reduce(spec, cols)
+
+
+def mont_sqr(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mont_mul(spec, a, a)
+
+
+def to_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Standard -> Montgomery form (multiply by R^2)."""
+    r2 = jnp.asarray(spec.r2_digits, dtype=jnp.uint32)
+    return mont_mul(spec, a, jnp.broadcast_to(r2, a.shape))
+
+
+def from_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Montgomery -> standard form (REDC with zero high half)."""
+    D = spec.n_digits
+    cols = jnp.concatenate(
+        [a, jnp.zeros((*a.shape[:-1], D + 1), dtype=jnp.uint32)], axis=-1
+    )
+    return mont_reduce(spec, cols)
+
+
+def mul_small(spec: FieldSpec, a: jax.Array, k: int) -> jax.Array:
+    """a * k for a small plain-int constant k (< 2^7); stays in Montgomery
+    form.  Used for curve-formula constants (e.g. 3b = 12).
+
+    Works on a temporarily widened (D+1)-digit vector because k*N can
+    exceed 2^(16 D) (Fr has only one spare bit above the modulus).
+    """
+    assert 0 < k < 128
+    D = spec.n_digits
+    wide = jnp.concatenate([a, jnp.zeros((*a.shape[:-1], 1), dtype=jnp.uint32)], axis=-1)
+    t = carry_pass(wide * jnp.uint32(k))  # k*a < k*N < 2^(16(D+1))
+    # binary reduction: conditionally subtract N*2^j from high j to low
+    for j in range(int(k).bit_length() - 1, -1, -1):
+        nj = jnp.asarray(int_to_digits(spec.modulus << j, D + 1), dtype=jnp.uint32)
+        diff, borrow = _sub_digits(t, jnp.broadcast_to(nj, t.shape))
+        t = jnp.where((borrow == 0)[..., None], diff, t)
+    return t[..., :D]
+
+
+def pow_const(spec: FieldSpec, a: jax.Array, e: int) -> jax.Array:
+    """a^e for a static Python-int exponent (Montgomery domain in, out).
+
+    Left-to-right square-and-multiply over the fixed bit pattern of e,
+    expressed as a lax.scan so the graph stays small for 255+-bit
+    exponents.  Replaces Fr::pow (bls.rs:169-187) for constant exponents.
+    """
+    assert e >= 0
+    if e == 0:
+        one = jnp.asarray(spec.one_mont, dtype=jnp.uint32)
+        return jnp.broadcast_to(one, a.shape)
+    bits = np.array([int(c) for c in bin(e)[2:]], dtype=np.bool_)
+
+    def step(acc, bit):
+        acc = mont_sqr(spec, acc)
+        acc_mul = mont_mul(spec, acc, a)
+        return jnp.where(bit, acc_mul, acc), None
+
+    init = jnp.where(bits[0], a, jnp.broadcast_to(jnp.asarray(spec.one_mont, dtype=jnp.uint32), a.shape))
+    if len(bits) == 1:
+        return init
+    out, _ = jax.lax.scan(step, init, jnp.asarray(bits[1:]))
+    return out
+
+
+def inv(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """a^-1 via Fermat (a^(N-2)); zero maps to zero.  Montgomery domain."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+def batch_inv(spec: FieldSpec, a: jax.Array, axis: int = -2) -> jax.Array:
+    """Montgomery's batched-inversion trick along `axis`: one Fermat chain
+    for the whole batch plus 3 multiplies per element (replaces the
+    per-term blst_fr_eucl_inverse loop, reference poly.rs:23-28).
+
+    Zeros are passed through as zeros (masked: they contribute ONE to the
+    running products).
+    """
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont, dtype=jnp.uint32), a.shape)
+    zero_mask = is_zero(a)[..., None]
+    safe = jnp.where(zero_mask, one, a)
+
+    mul = partial(mont_mul, spec)
+    # inclusive prefix products along axis
+    prefix = jax.lax.associative_scan(mul, safe, axis=axis)
+    total = jnp.take(prefix, jnp.array([safe.shape[axis] - 1]), axis=axis)
+    total_inv = inv(spec, total)
+    # suffix products: scan reversed
+    suffix = jax.lax.associative_scan(mul, safe, reverse=True, axis=axis)
+    # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
+    D = a.shape[-1]
+    ones_row = jnp.broadcast_to(
+        jnp.asarray(spec.one_mont, dtype=jnp.uint32),
+        jnp.take(prefix, jnp.array([0]), axis=axis).shape,
+    )
+    prefix_shift = jnp.concatenate(
+        [ones_row, jax.lax.slice_in_dim(prefix, 0, a.shape[axis] - 1, axis=axis)], axis=axis
+    )
+    suffix_shift = jnp.concatenate(
+        [jax.lax.slice_in_dim(suffix, 1, a.shape[axis], axis=axis), ones_row], axis=axis
+    )
+    out = mul(mul(prefix_shift, suffix_shift), total_inv)
+    return jnp.where(zero_mask, jnp.zeros_like(a), out)
+
+
+# ---------------------------------------------------------------------------
+# byte codecs (device side)
+# ---------------------------------------------------------------------------
+
+def be_bytes_to_digits(spec: FieldSpec, b: jax.Array) -> jax.Array:
+    """(..., 2D) big-endian u8 bytes -> (..., D) digit planes (plain form,
+    NOT reduced / NOT validated; see lt_modulus for canonicality)."""
+    D = spec.n_digits
+    b = b.astype(jnp.uint32)
+    pairs = b.reshape(*b.shape[:-1], D, 2)  # big-endian 16-bit words
+    words = (pairs[..., 0] << 8) | pairs[..., 1]
+    return words[..., ::-1]  # little-endian digit order
+
+
+def digits_to_be_bytes(spec: FieldSpec, d: jax.Array) -> jax.Array:
+    """(..., D) digit planes (plain form) -> (..., 2D) big-endian u8."""
+    words = d[..., ::-1]
+    hi = (words >> 8) & 0xFF
+    lo = words & 0xFF
+    return jnp.stack([hi, lo], axis=-1).reshape(*words.shape[:-1], -1).astype(jnp.uint8)
