@@ -65,6 +65,7 @@ class FieldSpec:
     n0inv: int = field(init=False, repr=False)
     one_mont: np.ndarray = field(init=False, repr=False)
     r2_digits: np.ndarray = field(init=False, repr=False)
+    nprime_digits: np.ndarray = field(init=False, repr=False)
     zero: np.ndarray = field(init=False, repr=False)
 
     def __post_init__(self):
@@ -78,6 +79,8 @@ class FieldSpec:
         object.__setattr__(self, "n0inv", (-pow(N, -1, 1 << DIGIT_BITS)) % (1 << DIGIT_BITS))
         object.__setattr__(self, "one_mont", int_to_digits(R % N, D))
         object.__setattr__(self, "r2_digits", int_to_digits(R * R % N, D))
+        # N' = -N^-1 mod R for non-interleaved Montgomery reduction
+        object.__setattr__(self, "nprime_digits", int_to_digits((-pow(N, -1, R)) % R, D))
         object.__setattr__(self, "zero", np.zeros((D,), dtype=np.uint32))
 
     # -- host-side codecs (tests / setup loading) ---------------------------
@@ -99,20 +102,41 @@ class FieldSpec:
 # carry / borrow machinery
 # ---------------------------------------------------------------------------
 
+def _shift_up(x: jax.Array, k: int) -> jax.Array:
+    """Shift digits one/k positions toward the most significant end."""
+    pad = jnp.zeros((*x.shape[:-1], k), dtype=x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+
+def _ks_carries(g: jax.Array, p: jax.Array) -> jax.Array:
+    """Kogge-Stone parallel-prefix carries.
+
+    g_i: position i generates a carry; p_i: position i propagates.
+    Returns c, where c_i = carry INTO position i.  Log-depth, fully
+    vectorized — no sequential per-digit chain for XLA to choke on.
+    """
+    D = g.shape[-1]
+    k = 1
+    while k < D:
+        g = g | (p & _shift_up(g, k))
+        p = p & _shift_up(p, k)
+        k *= 2
+    return _shift_up(g, 1)
+
+
 def carry_pass(t: jax.Array) -> jax.Array:
-    """Full sequential carry propagation; result digits < 2^16.
+    """Full carry propagation; result digits < 2^16.
 
     Input digits may be up to ~2^23 (delayed-carry columns); the final
     carry out of the top digit is DROPPED (callers must ensure it is zero).
+    Two soft-carry rounds reduce digits to <= 2^16, after which carries are
+    binary and a Kogge-Stone prefix resolves them in log depth.
     """
-    D = t.shape[-1]
-    out = []
-    c = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
-    for i in range(D):
-        s = t[..., i] + c
-        out.append(s & DIGIT_MASK)
-        c = s >> DIGIT_BITS
-    return jnp.stack(out, axis=-1)
+    t = soft_carry(t, rounds=2)  # digits <= 2^16
+    g = (t >> DIGIT_BITS).astype(jnp.bool_)  # digit == 2^16
+    p = (t & DIGIT_MASK) == DIGIT_MASK
+    c = _ks_carries(g, p).astype(jnp.uint32)
+    return (t + c) & DIGIT_MASK
 
 
 def _geq(a: jax.Array, n_digits: np.ndarray) -> jax.Array:
@@ -128,15 +152,27 @@ def _geq(a: jax.Array, n_digits: np.ndarray) -> jax.Array:
 
 
 def _sub_digits(a: jax.Array, b: jax.Array):
-    """(a - b) with borrow chain; returns (diff, borrow_out)."""
+    """(a - b) mod 2^(16D) with borrow-out; Kogge-Stone, no digit chain.
+
+    Computed as a + ~b + 1 (two's complement); borrow = NOT carry-out.
+    """
     D = a.shape[-1]
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for i in range(D):
-        t = a[..., i] + jnp.uint32(1 << DIGIT_BITS) - b[..., i] - borrow
-        out.append(t & DIGIT_MASK)
-        borrow = jnp.uint32(1) - (t >> DIGIT_BITS)
-    return jnp.stack(out, axis=-1), borrow
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    comp = jnp.uint32(DIGIT_MASK) - b
+    ulp = jnp.concatenate(
+        [jnp.ones((*shape[:-1], 1), jnp.uint32), jnp.zeros((*shape[:-1], D - 1), jnp.uint32)],
+        axis=-1,
+    )
+    s = a + comp + ulp  # digits < 2^17
+    zcol = jnp.zeros((*shape[:-1], 1), jnp.uint32)
+    s_ext = jnp.concatenate([s, zcol], axis=-1)
+    g = (s_ext >> DIGIT_BITS).astype(jnp.bool_)
+    p = (s_ext & DIGIT_MASK) == DIGIT_MASK
+    c = _ks_carries(g, p).astype(jnp.uint32)
+    diff = ((s_ext + c) & DIGIT_MASK)[..., :D]
+    carry_out = c[..., D] | (s_ext[..., D] >> DIGIT_BITS)
+    borrow = jnp.uint32(1) - carry_out
+    return diff, borrow
 
 
 def cond_sub_mod(spec: FieldSpec, a: jax.Array) -> jax.Array:
@@ -186,57 +222,88 @@ def lt_modulus(spec: FieldSpec, a: jax.Array) -> jax.Array:
     return ~_geq(a, spec.mod_digits)
 
 
-def _mul_columns(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Full product as delayed-carry columns: (..., 2D) with digits < 2^23.
+import functools
 
-    Column accumulation of 16-bit lo/hi halves of all digit products; every
-    column receives at most 2D values < 2^16, so sums stay far below u32
-    overflow (2D <= 48 => < 2^22).
+
+@functools.lru_cache(maxsize=None)
+def _conv_index_maps(da: int, db: int, out_cols: int):
+    """Static gather maps for digit convolution columns.
+
+    lo halves of product (i, j) land in column i+j, hi halves in i+j+1.
+    Index maps point at a sentinel zero column (db) when out of range.
     """
-    D = a.shape[-1]
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    acc = jnp.zeros((*shape, 2 * D + 1), dtype=jnp.uint32)
-    for i in range(D):
-        p = a[..., i : i + 1] * b  # (..., D) exact u32 products
-        lo = p & DIGIT_MASK
-        hi = p >> DIGIT_BITS
-        acc = acc.at[..., i : i + D].add(lo)
-        acc = acc.at[..., i + 1 : i + D + 1].add(hi)
-    return acc[..., : 2 * D]
+    i = np.arange(da)[:, None]
+    c = np.arange(out_cols)[None, :]
+    j_lo = c - i
+    j_hi = c - i - 1
+    idx_lo = np.where((j_lo >= 0) & (j_lo < db), j_lo, db).astype(np.int32)
+    idx_hi = np.where((j_hi >= 0) & (j_hi < db), j_hi, db).astype(np.int32)
+    return idx_lo, idx_hi
 
 
-def mont_reduce(spec: FieldSpec, t: jax.Array) -> jax.Array:
-    """Montgomery reduction of delayed-carry columns t (..., 2D) -> (..., D).
+def _conv_digits(a: jax.Array, b: jax.Array, out_cols: int) -> jax.Array:
+    """Digit-plane convolution columns: sum_{i+j=c} a_i*b_j split in 16-bit
+    halves.  Inputs must have digits <= 2^16 (products then fit u32); output
+    columns are delayed-carry sums < 2*min(Da,Db)*2^16 <= 2^22.
 
-    Word-by-word REDC with a running dead-column carry so the low digit is
-    always exact when the next quotient word m is computed.
+    Fully vectorized: one outer product + two static gathers + reductions —
+    no dynamic-update-slice chains, so the XLA graph is tiny and fusion-
+    friendly on both the compile and execute side.
+    """
+    da, db = a.shape[-1], b.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]  # (..., Da, Db)
+    lo = prod & DIGIT_MASK
+    hi = prod >> DIGIT_BITS
+    zpad = jnp.zeros((*prod.shape[:-1], 1), dtype=jnp.uint32)
+    lo = jnp.concatenate([lo, zpad], axis=-1)
+    hi = jnp.concatenate([hi, zpad], axis=-1)
+    idx_lo, idx_hi = _conv_index_maps(da, db, out_cols)
+    bshape = (1,) * (lo.ndim - 2)
+    il = jnp.asarray(idx_lo).reshape(*bshape, *idx_lo.shape)
+    ih = jnp.asarray(idx_hi).reshape(*bshape, *idx_hi.shape)
+    g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(il, (*lo.shape[:-1], out_cols)), axis=-1)
+    g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(ih, (*hi.shape[:-1], out_cols)), axis=-1)
+    return jnp.sum(g_lo, axis=-2) + jnp.sum(g_hi, axis=-2)
+
+
+def soft_carry(t: jax.Array, rounds: int = 2) -> jax.Array:
+    """Non-propagating carry rounds (vectorized, no sequential chain).
+
+    Each round moves every digit's overflow one column up; two rounds take
+    delayed columns < 2^22 down to digits <= 2^16 (note: 2^16, not 2^16-1,
+    which is still safe for u32 products against canonical digits).
+    Preserves the integer value (top carry must be provably zero).
+    """
+    for _ in range(rounds):
+        carry = t >> DIGIT_BITS
+        shifted = jnp.concatenate(
+            [jnp.zeros((*t.shape[:-1], 1), dtype=jnp.uint32), carry[..., :-1]], axis=-1
+        )
+        t = (t & DIGIT_MASK) + shifted
+    return t
+
+
+def mont_reduce(spec: FieldSpec, t_soft: jax.Array) -> jax.Array:
+    """Non-interleaved Montgomery reduction: t (..., 2D soft digits) -> (..., D).
+
+    M = (t mod R) * N' mod R  (N' = -N^-1 mod R), then (t + M*N)/R, both as
+    vectorized digit convolutions.  Replaces the sequential word-by-word
+    REDC: only the final canonicalizing carry pass is sequential.
     """
     D = spec.n_digits
+    nprime = jnp.asarray(spec.nprime_digits, dtype=jnp.uint32)
     n = jnp.asarray(spec.mod_digits, dtype=jnp.uint32)
-    n0inv = jnp.uint32(spec.n0inv)
-    acc = t
-    for i in range(D):
-        m = (acc[..., i] * n0inv) & DIGIT_MASK
-        p = m[..., None] * n  # (..., D)
-        lo = p & DIGIT_MASK
-        hi = p >> DIGIT_BITS
-        acc = acc.at[..., i : i + D].add(lo)
-        acc = acc.at[..., i + 1 : i + D + 1].add(hi)
-        # dead column: propagate its full carry into the next column
-        acc = acc.at[..., i + 1].add(acc[..., i] >> DIGIT_BITS)
-    hi_half = carry_pass(acc[..., D : 2 * D])
-    return cond_sub_mod(spec, hi_half)
+    m = soft_carry(_conv_digits(t_soft[..., :D], nprime, D))
+    u = _conv_digits(m, n, 2 * D)
+    total = u + t_soft  # columns < 2^22 + 2^16
+    res = carry_pass(total)[..., D:]
+    return cond_sub_mod(spec, res)
 
 
 def mont_mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     """Montgomery product abR^-1 mod N; replaces blst_fr_mul / blst_fp_mul."""
-    D = spec.n_digits
-    cols = _mul_columns(a, b)
-    # pad one slot so mont_reduce's hi writes stay in range
-    cols = jnp.concatenate(
-        [cols, jnp.zeros((*cols.shape[:-1], 1), dtype=jnp.uint32)], axis=-1
-    )
-    return mont_reduce(spec, cols)
+    cols = _conv_digits(a, b, 2 * spec.n_digits)
+    return mont_reduce(spec, soft_carry(cols))
 
 
 def mont_sqr(spec: FieldSpec, a: jax.Array) -> jax.Array:
@@ -253,7 +320,7 @@ def from_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
     """Montgomery -> standard form (REDC with zero high half)."""
     D = spec.n_digits
     cols = jnp.concatenate(
-        [a, jnp.zeros((*a.shape[:-1], D + 1), dtype=jnp.uint32)], axis=-1
+        [a, jnp.zeros((*a.shape[:-1], D), dtype=jnp.uint32)], axis=-1
     )
     return mont_reduce(spec, cols)
 

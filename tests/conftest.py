@@ -7,11 +7,25 @@ runs on the real chip separately).
 
 import os
 
-# Must be set before jax imports anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the environment pins JAX_PLATFORMS=axon (remote TPU tunnel)
+# whose lazy init stalls unit tests, and its sitecustomize imports jax at
+# interpreter startup, so env vars alone are too late — we must also update
+# the live jax config.  The driver benches on the real chip separately.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the digit-plane graphs are chunky and this
+# box has one CPU core; caching compiles across test runs is a big win.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_repo_root, ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pickle
 
