@@ -1,0 +1,220 @@
+"""TPU-native multi-scalar multiplication (Pippenger reformulated for SIMD).
+
+Replaces the reference's blst Pippenger path (`P1::lincomb_pippenger`,
+reference src/bls.rs:415-437 calling `p1_affines::mult(&scalars, 255)`) and
+the naive `P1::lincomb` (bls.rs:406-413).
+
+Classic Pippenger accumulates points into buckets with data-dependent
+scatter — the single most TPU-hostile memory pattern.  This version keeps
+the bucket algebra but removes every scatter:
+
+1. Split each 255-bit scalar into W = ceil(255/c) unsigned c-bit window
+   digits (a static bit-plane gather, no data-dependent shapes).
+2. Per window, SORT point indices by digit (XLA sorting network) and
+   gather the points into bucket order.
+3. One inclusive prefix scan of point additions along the sorted axis
+   yields every bucket-boundary partial sum.
+4. The weighted bucket sum  sum_j j*S_j  collapses via the telescoping
+   identity  sum_{j>=1} T_j  (T_j = sum of buckets >= j = total -
+   prefix[c_j - 1]) into (B-1)*total minus a 255-point gather + sum.
+5. Windows combine with c doublings between them (Horner over 2^c).
+
+Compilation-model note: every repeated point operation lives inside a
+`lax.scan` body so it is traced and compiled ONCE.  The prefix scan is
+Hillis-Steele (log2(N) scan steps over a fixed (W, N) shape, shift by a
+*traced* offset via jnp.roll + identity masking) rather than
+`lax.associative_scan`, whose unrolled recursion instantiates O(log N)
+distinct odd/even program shapes and blows up the HLO graph; N*log(N)
+uniform lanes beat 2N ragged lanes on both the XLA compiler and the TPU
+vector units.  Identity inputs and repeated points are handled by the
+complete formulas, so no special cases exist anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limbs as L
+from . import ops
+from .ops import CurveField
+
+
+def _fdim(F: CurveField) -> int:
+    return 1 if F.name == "fp" else 2
+
+
+def _roll_axis(p, shift, axis):
+    """jnp.roll each coordinate plane along `axis` by a traced shift."""
+    return tuple(jnp.roll(a, shift, axis=axis) for a in p)
+
+
+def prefix_scan(F: CurveField, p, axis: int = 0):
+    """Inclusive prefix sum of points along `axis` (Hillis-Steele).
+
+    log2(N) lax.scan steps; each step is ONE complete-formula add over the
+    full fixed shape.  N must be a power of two.
+    """
+    n = jnp.shape(p[0])[axis]
+    assert n & (n - 1) == 0, "prefix_scan requires power-of-two length"
+    steps = n.bit_length() - 1
+    if n == 1:
+        return p
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # reshape pos for broadcasting against batch dims on `axis`
+    bshape = [1] * (p[0].ndim - _fdim(F))
+    bshape[axis] = n
+    pos = pos.reshape(bshape)
+
+    def step(acc, k):
+        shift = jnp.int32(1) << k
+        shifted = _roll_axis(acc, shift, axis)
+        mask = pos >= shift  # rolled-in wraparound must not contribute
+        contrib = ops.pselect(F, mask, shifted, ops.identity(F, mask.shape))
+        return ops.padd(F, acc, contrib), None
+
+    out, _ = jax.lax.scan(step, p, jnp.arange(steps, dtype=jnp.int32))
+    return out
+
+
+def tree_sum(F: CurveField, p, axis: int = 0):
+    """Sum points along `axis`: pad to power of two, prefix-scan, take last."""
+    n = jnp.shape(p[0])[axis]
+    pot = 1 if n <= 1 else 1 << (n - 1).bit_length()
+    if pot != n:
+        ident = tuple(
+            jnp.broadcast_to(
+                i,
+                tuple(
+                    (pot - n) if d == axis else s for d, s in enumerate(jnp.shape(c))
+                ),
+            )
+            for i, c in zip(ops.identity(F), p)
+        )
+        p = tuple(jnp.concatenate([a, b], axis=axis) for a, b in zip(p, ident))
+    scanned = prefix_scan(F, p, axis=axis)
+    return tuple(
+        jax.lax.index_in_dim(a, pot - 1, axis=axis, keepdims=False) for a in scanned
+    )
+
+
+def scalar_mul_const(F: CurveField, p, k: int, unroll: bool = False):
+    """p * k for a STATIC python int k.
+
+    Scan-based double-and-add (2 point ops in the graph) unless `unroll`
+    (then branch-free straight-line, good for tiny k).
+    """
+    if k == 0:
+        return ops.identity(F, jnp.shape(p[0])[: -_fdim(F)])
+    bits = bin(k)[2:]
+    if unroll:
+        acc = None
+        for bit in bits:
+            if acc is not None:
+                acc = ops.pdouble(F, acc)
+            if bit == "1":
+                acc = p if acc is None else ops.padd(F, acc, p)
+        return acc
+
+    bit_arr = jnp.asarray(np.array([b == "1" for b in bits[1:]], dtype=np.bool_))
+
+    def step(acc, bit):
+        acc = ops.pdouble(F, acc)
+        return ops.pselect(F, bit, ops.padd(F, acc, p), acc), None
+
+    if len(bits) == 1:
+        return p
+    out, _ = jax.lax.scan(step, p, bit_arr)
+    return out
+
+
+def window_digits(scalar_digits: jax.Array, c: int, n_bits: int = 255) -> jax.Array:
+    """Plain Fr digit planes (..., 16) -> (W, ...) c-bit window values
+    (least-significant window first), W = ceil(n_bits / c)."""
+    shifts = jnp.arange(L.DIGIT_BITS, dtype=jnp.uint32)
+    bits = (scalar_digits[..., :, None] >> shifts) & 1  # (..., 16, 16) LSB-first
+    bits = bits.reshape(*scalar_digits.shape[:-1], -1)[..., :n_bits]
+    W = -(-n_bits // c)
+    pad = W * c - n_bits
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((*bits.shape[:-1], pad), dtype=bits.dtype)], axis=-1
+        )
+    bits = bits.reshape(*bits.shape[:-1], W, c)  # window-major, LSB-first in window
+    weights = jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32)
+    digits = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)  # (..., W)
+    return jnp.moveaxis(digits, -1, 0)  # (W, ...)
+
+
+def msm(F: CurveField, points, scalar_digits: jax.Array, c: int = 8):
+    """sum_i scalars[i] * points[i].
+
+    points: projective tuple, each component (N, *field_dims).
+    scalar_digits: PLAIN (non-Montgomery) Fr digits (N, 16).
+    Returns a single projective point.
+    """
+    N = jnp.shape(points[0])[0]
+    B = 1 << c
+    digits = window_digits(scalar_digits, c)  # (W, N)
+    W = digits.shape[0]
+
+    # pad N to a power of two with zero digits + identity points
+    pot = 1 if N <= 1 else 1 << (N - 1).bit_length()
+    if pot != N:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((W, pot - N), dtype=digits.dtype)], axis=1
+        )
+        ident = ops.identity(F, (pot - N,))
+        points = tuple(
+            jnp.concatenate([a, jnp.broadcast_to(b, (pot - N, *a.shape[1:]))], axis=0)
+            for a, b in zip(points, ident)
+        )
+        N = pot
+
+    # 2. sort by digit within each window, gather points into bucket order
+    order = jnp.argsort(digits, axis=-1)  # (W, N)
+    sorted_digits = jnp.take_along_axis(digits, order, axis=-1)
+    gathered = tuple(jnp.take(comp, order, axis=0) for comp in points)  # (W, N, ...)
+
+    # 3. inclusive prefix scan of point adds along the sorted axis
+    prefix = prefix_scan(F, gathered, axis=1)
+    total = tuple(jax.lax.index_in_dim(a, N - 1, axis=1, keepdims=False) for a in prefix)
+
+    # 4. bucket-boundary gather: c_j = #digits < j for j = 1..B-1
+    onehot = (sorted_digits[..., None] == jnp.arange(B, dtype=jnp.uint32)).astype(
+        jnp.int32
+    )  # (W, N, B)
+    counts = jnp.sum(onehot, axis=1)  # (W, B)
+    cum = jnp.cumsum(counts, axis=-1)  # cum[:, d] = #digits <= d
+    c_j = cum[:, : B - 1]  # #digits < j   (j = 1..B-1)
+    idx = jnp.maximum(c_j - 1, 0)  # (W, B-1)
+    boundary = tuple(
+        jnp.take_along_axis(a, idx.reshape(W, B - 1, *([1] * (a.ndim - 2))), axis=1)
+        for a in prefix
+    )  # (W, B-1, ...)
+    empty = c_j == 0  # no digit < j: boundary_j := identity
+    boundary = ops.pselect(F, empty, ops.identity(F, (W, B - 1)), boundary)
+
+    # window_sum = (B-1) * total - sum_j boundary_j
+    gsum = tree_sum(F, boundary, axis=1)  # (W, ...)
+    win = ops.padd(F, scalar_mul_const(F, total, B - 1), ops.pneg(F, gsum))
+
+    # 5. Horner over windows: acc = ((win[W-1] * 2^c) + win[W-2]) * 2^c + ...
+    def step(acc, w):
+        for _ in range(c):
+            acc = ops.pdouble(F, acc)
+        return ops.padd(F, acc, w), None
+
+    top = tuple(jax.lax.index_in_dim(a, W - 1, axis=0, keepdims=False) for a in win)
+    rest = tuple(a[: W - 1][::-1] for a in win)  # next-most-significant first
+    acc, _ = jax.lax.scan(step, top, rest)
+    return acc
+
+
+def lincomb_small(F: CurveField, points, scalar_digits: jax.Array):
+    """Linear combination for SMALL n via batched double-and-add + tree sum
+    (the reference's naive `lincomb`, bls.rs:406-413, used by batch verify
+    setup.rs:152-155).  All n scalar muls run in parallel lanes."""
+    prods = ops.scalar_mul(F, points, scalar_digits)
+    return tree_sum(F, prods, axis=0)

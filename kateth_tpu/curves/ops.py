@@ -203,11 +203,15 @@ def scalar_mul(F: CurveField, p, scalar_digits: jax.Array, n_bits: int = 255):
     Fr digits.
     """
     bits = scalar_bits_msb(scalar_digits, n_bits)
-    init = identity(F, np.broadcast_shapes(
-        jnp.shape(p[0])[: -_field_ndim(F)], scalar_digits.shape[:-1]
-    ))
-    init = tuple(jnp.broadcast_to(i, i.shape) for i in init)
-    p_b = p
+    fdim = _field_ndim(F)
+    batch = np.broadcast_shapes(jnp.shape(p[0])[:-fdim], scalar_digits.shape[:-1])
+    init = identity(F, batch)
+    # broadcast the base point up to the batch shape so every field op in
+    # the scan body sees rank-matched operands (a lone point against a
+    # batched scalar would otherwise broadcast quadratically in mul_many)
+    p_b = tuple(
+        jnp.broadcast_to(c, (*batch, *jnp.shape(c)[jnp.ndim(c) - fdim :])) for c in p
+    )
 
     def step(acc, bit):
         acc = pdouble(F, acc)

@@ -246,24 +246,46 @@ def _conv_digits(a: jax.Array, b: jax.Array, out_cols: int) -> jax.Array:
     halves.  Inputs must have digits <= 2^16 (products then fit u32); output
     columns are delayed-carry sums < 2*min(Da,Db)*2^16 <= 2^22.
 
-    Fully vectorized: one outer product + two static gathers + reductions —
-    no dynamic-update-slice chains, so the XLA graph is tiny and fusion-
-    friendly on both the compile and execute side.
+    Schoolbook rows with STATIC shifts (zero-pad + add): purely dense
+    elementwise vector ops — no gathers, which are slow on both CPU and the
+    TPU VPU.  The row loop is a static Python loop over the (small, fixed)
+    digit count, so XLA sees a flat chain of fused multiply/pad/add.
     """
     da, db = a.shape[-1], b.shape[-1]
-    prod = a[..., :, None] * b[..., None, :]  # (..., Da, Db)
-    lo = prod & DIGIT_MASK
-    hi = prod >> DIGIT_BITS
-    zpad = jnp.zeros((*prod.shape[:-1], 1), dtype=jnp.uint32)
-    lo = jnp.concatenate([lo, zpad], axis=-1)
-    hi = jnp.concatenate([hi, zpad], axis=-1)
-    idx_lo, idx_hi = _conv_index_maps(da, db, out_cols)
-    bshape = (1,) * (lo.ndim - 2)
-    il = jnp.asarray(idx_lo).reshape(*bshape, *idx_lo.shape)
-    ih = jnp.asarray(idx_hi).reshape(*bshape, *idx_hi.shape)
-    g_lo = jnp.take_along_axis(lo, jnp.broadcast_to(il, (*lo.shape[:-1], out_cols)), axis=-1)
-    g_hi = jnp.take_along_axis(hi, jnp.broadcast_to(ih, (*hi.shape[:-1], out_cols)), axis=-1)
-    return jnp.sum(g_lo, axis=-2) + jnp.sum(g_hi, axis=-2)
+    # skew-reshape placement requires all products to land inside out_cols
+    assert out_cols >= da + db, (da, db, out_cols)
+    prod = a[..., :, None] * b[..., None, :]  # (..., da, db)
+    batch = prod.shape[:-2]
+    out = _skew_sum(prod & DIGIT_MASK, out_cols, 0, batch)
+    out = out + _skew_sum(prod >> DIGIT_BITS, out_cols, 1, batch)
+    return out
+
+
+def _skew_sum(rows: jax.Array, out_cols: int, lead: int, batch) -> jax.Array:
+    """sum_i shift(rows[i], i + lead) in ~10 dense ops (no scatter/gather).
+
+    Pad each row to width out_cols+1 and flatten: element (i, j) sits at
+    flat index (out_cols+1)*i + j + lead.  Re-reading the flat buffer with
+    width out_cols puts it at column (i + j + lead) mod out_cols — exactly
+    the diagonal target (no wraparound because i+j+lead < out_cols by the
+    caller's contract) — with colliding diagonals landing in distinct rows,
+    so a single row-sum produces the convolution columns.
+    """
+    da, db = rows.shape[-2], rows.shape[-1]
+    z = jnp.zeros((*batch, da, out_cols + 1 - db), dtype=rows.dtype)
+    flat = jnp.concatenate([rows, z], axis=-1).reshape(*batch, da * (out_cols + 1))
+    if lead:
+        flat = jnp.concatenate(
+            [jnp.zeros((*batch, lead), dtype=rows.dtype), flat], axis=-1
+        )
+    total = flat.shape[-1]
+    n_rows = -(-total // out_cols)
+    pad = n_rows * out_cols - total
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((*batch, pad), dtype=rows.dtype)], axis=-1
+        )
+    return jnp.sum(flat.reshape(*batch, n_rows, out_cols), axis=-2)
 
 
 def soft_carry(t: jax.Array, rounds: int = 2) -> jax.Array:
@@ -293,7 +315,8 @@ def mont_reduce(spec: FieldSpec, t_soft: jax.Array) -> jax.Array:
     D = spec.n_digits
     nprime = jnp.asarray(spec.nprime_digits, dtype=jnp.uint32)
     n = jnp.asarray(spec.mod_digits, dtype=jnp.uint32)
-    m = soft_carry(_conv_digits(t_soft[..., :D], nprime, D))
+    # full-width conv then truncate (the skew trick needs out_cols >= da+db)
+    m = soft_carry(_conv_digits(t_soft[..., :D], nprime, 2 * D)[..., :D])
     u = _conv_digits(m, n, 2 * D)
     total = u + t_soft  # columns < 2^22 + 2^16
     res = carry_pass(total)[..., D:]
@@ -382,6 +405,7 @@ def batch_inv(spec: FieldSpec, a: jax.Array, axis: int = -2) -> jax.Array:
     Zeros are passed through as zeros (masked: they contribute ONE to the
     running products).
     """
+    axis = axis % a.ndim  # associative_scan(reverse=...) needs nonneg axis
     one = jnp.broadcast_to(jnp.asarray(spec.one_mont, dtype=jnp.uint32), a.shape)
     zero_mask = is_zero(a)[..., None]
     safe = jnp.where(zero_mask, one, a)
@@ -407,6 +431,22 @@ def batch_inv(spec: FieldSpec, a: jax.Array, axis: int = -2) -> jax.Array:
     )
     out = mul(mul(prefix_shift, suffix_shift), total_inv)
     return jnp.where(zero_mask, jnp.zeros_like(a), out)
+
+
+def sum_mod(spec: FieldSpec, x: jax.Array, axis: int = -2) -> jax.Array:
+    """Modular sum along `axis` via log-depth pairwise folding.
+
+    Length along `axis` must be a power of two (pad with zeros upstream).
+    """
+    n = x.shape[axis]
+    assert n & (n - 1) == 0 and n > 0
+    ax = axis % x.ndim
+    while n > 1:
+        lo = jax.lax.slice_in_dim(x, 0, n // 2, axis=ax)
+        hi = jax.lax.slice_in_dim(x, n // 2, n, axis=ax)
+        x = add(spec, lo, hi)
+        n //= 2
+    return jnp.squeeze(x, axis=ax)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,240 @@
+"""Public byte-level KZG API.
+
+Mirrors the reference's six public operations and their error semantics
+(reference src/kzg/setup.rs:96-275): invalid encodings, non-canonical field
+elements, off-curve and out-of-subgroup points raise KzgError; `False` is
+returned only for an honest verification failure — the distinction the
+consensus spec tests enforce.
+
+Host/device split: byte validation masks, polynomial math, MSMs and
+pairings run on device as batched jitted kernels; SHA-256 Fiat-Shamir
+challenges (reference blob.rs:78-97) and single-point compress/decompress
+(48-byte codec, sqrt-dominated) run on the host.
+
+The batched entry points (plural names) are the TPU-native value-add: one
+program invocation processes B blobs across the batch dimension.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.specs import FR
+from ..oracle import curve as oc
+from ..oracle.field import R as FR_MOD
+from ..oracle.kzg import FS_DOMAIN, RC_DOMAIN, KzgError
+from ..curves import g1 as g1mod
+from . import protocol
+from .config import KzgConfig, MAINNET
+from .setup import DeviceSetup
+
+BYTES_PER_FIELD_ELEMENT = 32
+BYTES_PER_COMMITMENT = 48
+BYTES_PER_PROOF = 48
+
+
+def _hash_to_fr(data: bytes) -> int:
+    """SHA-256 then reduce mod r (reference Fr::hash_to, bls.rs:189-205)."""
+    return int.from_bytes(hashlib.sha256(data).digest(), "big") % FR_MOD
+
+
+class Kzg:
+    """The library handle: device setup + compiled kernels.
+
+    Replaces the reference's `Setup` (setup.rs:38-276).
+    """
+
+    def __init__(self, setup: DeviceSetup):
+        self.setup = setup
+        self.config = setup.config
+
+    @classmethod
+    def load_json(cls, path: str, config: KzgConfig = MAINNET) -> "Kzg":
+        return cls(DeviceSetup.load_json(path, config))
+
+    # -- host codecs -----------------------------------------------------
+
+    def _decode_blobs(self, blobs) -> tuple[jax.Array, jax.Array]:
+        """list[bytes] -> (plain element planes (B, N, 16), device ok (B,)).
+        Length errors raise immediately; canonicality comes back as a mask."""
+        nbytes = self.config.bytes_per_blob
+        for b in blobs:
+            if len(b) != nbytes:
+                raise KzgError("invalid blob length")
+        arr = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), nbytes)
+        return protocol.decode_blobs(jnp.asarray(arr))
+
+    @staticmethod
+    def _decode_g1(b: bytes):
+        """48 compressed bytes -> oracle Jacobian point (raises KzgError)."""
+        if len(b) != BYTES_PER_COMMITMENT:
+            raise KzgError("invalid point length")
+        try:
+            return oc.g1_decompress(bytes(b))
+        except oc.DecompressError as e:
+            raise KzgError(f"invalid G1 point: {e.__class__.__name__}") from e
+
+    @staticmethod
+    def _fr_bytes_to_int(b: bytes) -> int:
+        if len(b) != BYTES_PER_FIELD_ELEMENT:
+            raise KzgError("invalid field element length")
+        v = int.from_bytes(bytes(b), "big")
+        if v >= FR_MOD:
+            raise KzgError("non-canonical field element")
+        return v
+
+    @staticmethod
+    def _fr_planes(vals) -> jax.Array:
+        return jnp.asarray(np.stack([FR.from_int(v, mont=False) for v in vals]))
+
+    @staticmethod
+    def _points_to_bytes(pt) -> list[bytes]:
+        return [oc.g1_compress(p) for p in g1mod.to_oracle(pt)]
+
+    def _challenge(self, blob: bytes, commitment: bytes) -> int:
+        """Fiat-Shamir challenge (reference Blob::challenge, blob.rs:78-97)."""
+        data = (
+            FS_DOMAIN
+            + self.config.n.to_bytes(16, "big")
+            + bytes(blob)
+            + bytes(commitment)
+        )
+        return _hash_to_fr(data)
+
+    def _challenges(self, blobs, commitments) -> list[int]:
+        """Batched Fiat-Shamir challenges via the native hasher."""
+        from .. import native
+
+        prefix = FS_DOMAIN + self.config.n.to_bytes(16, "big")
+        digests = native.challenges(
+            prefix,
+            b"".join(bytes(b) for b in blobs),
+            self.config.bytes_per_blob,
+            b"".join(bytes(c) for c in commitments),
+            len(blobs),
+        )
+        return [int.from_bytes(d, "big") % FR_MOD for d in digests]
+
+    def _check_ok(self, ok: jax.Array):
+        if not bool(jnp.all(ok)):
+            raise KzgError("non-canonical field element in blob")
+
+    # -- batched core ------------------------------------------------------
+
+    def _commit_elements(self, elements_plain: jax.Array):
+        return protocol.commit_msm(
+            self.setup.g1_points, elements_plain, self.config.msm_window
+        )
+
+    def _evaluate_and_quotient(self, elements_plain: jax.Array, z_vals):
+        """(B,N,16) plain elements + python z ints -> (y ints, q plain)."""
+        elements_mont = protocol.fr_to_mont(elements_plain)
+        z_mont = protocol.fr_to_mont(self._fr_planes(z_vals))
+        y_mont = protocol.evaluate(
+            elements_mont, z_mont, self.setup.roots, self.config.n
+        )
+        q_mont = protocol.quotient(
+            elements_mont, z_mont, y_mont, self.setup.roots, self.setup.inv_roots
+        )
+        y_plain = np.asarray(protocol.fr_from_mont(y_mont))
+        q_plain = protocol.fr_from_mont(q_mont)
+        ys = [FR.to_int(y_plain[i], mont=False) for i in range(y_plain.shape[0])]
+        return ys, q_plain
+
+    # -- the six public operations (reference setup.rs:96-275) -------------
+
+    def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
+        return self.blobs_to_kzg_commitments([blob])[0]
+
+    def blobs_to_kzg_commitments(self, blobs) -> list[bytes]:
+        """Batched commitment (reference setup.rs:167-171)."""
+        elements, ok = self._decode_blobs(blobs)
+        self._check_ok(ok)
+        return self._points_to_bytes(self._commit_elements(elements))
+
+    def compute_kzg_proof(self, blob: bytes, z: bytes) -> tuple[bytes, bytes]:
+        (proof,), (y,) = self.compute_kzg_proofs([blob], [z])
+        return proof, y
+
+    def compute_kzg_proofs(self, blobs, zs):
+        """Batched proof-at-point (reference setup.rs:185-194).
+        Returns (proofs list, ys list) of bytes."""
+        elements, ok = self._decode_blobs(blobs)
+        self._check_ok(ok)
+        z_vals = [self._fr_bytes_to_int(z) for z in zs]
+        ys, q_plain = self._evaluate_and_quotient(elements, z_vals)
+        proofs = self._points_to_bytes(self._commit_elements(q_plain))
+        return proofs, [v.to_bytes(32, "big") for v in ys]
+
+    def compute_blob_kzg_proof(self, blob: bytes, commitment: bytes) -> bytes:
+        return self.compute_blob_kzg_proofs([blob], [commitment])[0]
+
+    def compute_blob_kzg_proofs(self, blobs, commitments) -> list[bytes]:
+        """Batched blob proof (reference setup.rs:177-183)."""
+        for c in commitments:
+            self._decode_g1(c)  # validation only (setup.rs:179-180)
+        elements, ok = self._decode_blobs(blobs)
+        self._check_ok(ok)
+        z_vals = self._challenges(blobs, commitments)
+        _, q_plain = self._evaluate_and_quotient(elements, z_vals)
+        return self._points_to_bytes(self._commit_elements(q_plain))
+
+    def verify_kzg_proof(self, proof: bytes, commitment: bytes, z: bytes, y: bytes) -> bool:
+        """Single-point verification (reference setup.rs:96-113)."""
+        proof_pt = self._decode_g1(proof)
+        comm_pt = self._decode_g1(commitment)
+        z_v = self._fr_bytes_to_int(z)
+        y_v = self._fr_bytes_to_int(y)
+        dp = tuple(jnp.asarray(a) for a in g1mod.from_oracle([proof_pt]))
+        dc = tuple(jnp.asarray(a) for a in g1mod.from_oracle([comm_pt]))
+        out = protocol.verify_kzg(
+            dp, dc, self._fr_planes([z_v]), self._fr_planes([y_v]), self.setup.tau2
+        )
+        return bool(out[0])
+
+    def verify_blob_kzg_proof(self, blob: bytes, commitment: bytes, proof: bytes) -> bool:
+        """(reference setup.rs:208-221)."""
+        return self.verify_blob_kzg_proof_batch([blob], [commitment], [proof])
+
+    def verify_blob_kzg_proof_batch(self, blobs, commitments, proofs) -> bool:
+        """RLC batch verification (reference setup.rs:247-275 + 115-161).
+
+        Weights are true powers r^0=1, r, r^2, ... (documented divergence
+        from the reference's rpowers[0]==r quirk, setup.rs:141; the boolean
+        is unaffected — both are sound random linear combinations).
+        """
+        if not (len(blobs) == len(commitments) == len(proofs)):
+            raise KzgError("length mismatch")
+        n = len(blobs)
+        if n == 0:
+            return True
+        comm_pts = [self._decode_g1(c) for c in commitments]
+        proof_pts = [self._decode_g1(p) for p in proofs]
+        elements, ok = self._decode_blobs(blobs)
+        self._check_ok(ok)
+
+        z_vals = self._challenges(blobs, commitments)
+        elements_mont = protocol.fr_to_mont(elements)
+        z_mont = protocol.fr_to_mont(self._fr_planes(z_vals))
+        y_mont = protocol.evaluate(
+            elements_mont, z_mont, self.setup.roots, self.config.n
+        )
+        y_plain_arr = protocol.fr_from_mont(y_mont)
+
+        r = _hash_to_fr(
+            RC_DOMAIN + self.config.n.to_bytes(16, "big") + n.to_bytes(16, "big")
+        )
+        weights = [pow(r, i, FR_MOD) for i in range(n)]
+        zw = [w * z % FR_MOD for w, z in zip(weights, z_vals)]
+
+        dcomm = tuple(jnp.asarray(a) for a in g1mod.from_oracle(comm_pts))
+        dproof = tuple(jnp.asarray(a) for a in g1mod.from_oracle(proof_pts))
+        cme = protocol.commitments_minus_evals(dcomm, y_plain_arr)
+        out = protocol.verify_batch_rlc(
+            dproof, cme, self._fr_planes(zw), self._fr_planes(weights), self.setup.tau2
+        )
+        return bool(out)

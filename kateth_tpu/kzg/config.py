@@ -1,0 +1,35 @@
+"""Library configuration.
+
+The reference fixes sizes at compile time with const generics
+(Setup<const G1: usize, const G2: usize>, reference src/kzg/setup.rs:38;
+Blob<const N: usize>, src/blob.rs:18) and pins 4096/65 in its tests
+(setup.rs:296-297).  Here the analog is a frozen dataclass passed as a
+static argument to the jitted kernels: sizes are compile-time constants to
+XLA, exactly like const generics are to rustc.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class KzgConfig:
+    #: field elements per blob (power of two)
+    n: int = 4096
+    #: number of G2 monomial points in the setup (only [tau]_2 is used at
+    #: runtime, reference setup.rs:91,158)
+    g2_len: int = 65
+    #: Pippenger window size in bits for the commitment/proof MSM
+    msm_window: int = 8
+
+    def __post_init__(self):
+        assert self.n > 0 and self.n & (self.n - 1) == 0, "n must be a power of two"
+        assert self.g2_len >= 2
+
+    @property
+    def bytes_per_blob(self) -> int:
+        return 32 * self.n
+
+
+MAINNET = KzgConfig()

@@ -1,0 +1,199 @@
+"""Device kernels for the KZG protocol layer.
+
+Each function is a pure, jittable, batch-first program over digit planes.
+Reference anchors:
+
+* decode_blobs      — Blob::from_slice per-element canonicality validation
+                      (reference src/blob.rs:26-37)
+* evaluate          — Polynomial::evaluate barycentric formula with the
+                      root-hit special case (reference src/kzg/poly.rs:10-33),
+                      but with ONE Montgomery-trick batched inversion for the
+                      whole (B, N) plane instead of 4096 per-term inversions.
+* quotient          — Polynomial::prove quotient construction including the
+                      O(N) special-case row when z hits a root
+                      (reference src/kzg/poly.rs:44-66), as masked passes.
+* commit_msm        — the Pippenger MSM call (reference src/blob.rs:48-53,
+                      poly.rs:68).
+* verify_kzg        — the two-pairing check (reference setup.rs:84-94).
+* verify_batch_rlc  — the random-linear-combination batch check
+                      (reference setup.rs:115-161), with true r^0 = 1
+                      weights (documented divergence from the reference's
+                      rpowers[0] == r quirk, setup.rs:141; the boolean
+                      outcome — the only observable — is unaffected).
+
+Everything is branch-free: special cases are masks, not control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limbs as L
+from ..fields.specs import FP, FR
+from ..curves import ops, msm as msm_mod
+from ..curves import g1 as g1mod, g2 as g2mod
+from .. import pairing
+from .config import KzgConfig
+
+F1 = ops.FP_FIELD
+F2 = ops.FP2_FIELD
+
+
+# ---------------------------------------------------------------------------
+# blob decoding / validation
+# ---------------------------------------------------------------------------
+
+def decode_blobs(blob_bytes: jax.Array):
+    """(B, 32*N) u8 -> (elements_plain (B, N, 16), ok (B,)).
+
+    ok[b] is True iff every 32-byte chunk is a canonical big-endian Fr
+    (reference Blob::from_slice, blob.rs:26-37).  Elements are PLAIN
+    (non-Montgomery) digit planes; non-canonical lanes are garbage but
+    masked by ok.
+    """
+    B = blob_bytes.shape[0]
+    chunks = blob_bytes.reshape(B, -1, 32)
+    digits = L.be_bytes_to_digits(FR, chunks)  # (B, N, 16)
+    ok = jnp.all(L.lt_modulus(FR, digits), axis=-1)
+    return digits, ok
+
+
+# ---------------------------------------------------------------------------
+# polynomial math (evaluation form over BRP'd roots)
+# ---------------------------------------------------------------------------
+
+def _n_inv_mont(n: int) -> np.ndarray:
+    from ..oracle.field import R
+
+    return FR.from_int(pow(n, R - 2, R))
+
+
+@partial(jax.jit, static_argnums=(3,))
+def evaluate(elements_mont, z_mont, setup_roots, n: int):
+    """Barycentric evaluation y = p(z) (reference poly.rs:10-33).
+
+    elements_mont: (B, N, 16) Montgomery; z_mont: (B, 16) Montgomery.
+    Returns y_mont (B, 16).
+    """
+    roots = setup_roots  # (N, 16) Montgomery, BRP order
+    hit = L.eq(z_mont[:, None, :], roots[None, :, :])  # (B, N)
+    any_hit = jnp.any(hit, axis=-1)  # (B,)
+    y_hit = L.sum_mod(
+        FR, jnp.where(hit[..., None], elements_mont, jnp.zeros_like(elements_mont)), axis=-2
+    )
+    d = L.sub(FR, z_mont[:, None, :], jnp.broadcast_to(roots, elements_mont.shape))
+    invs = L.batch_inv(FR, d, axis=-2)  # hit lane -> 0
+    fw = L.mont_mul(FR, elements_mont, jnp.broadcast_to(roots, elements_mont.shape))
+    terms = L.mont_mul(FR, fw, invs)
+    s = L.sum_mod(FR, terms, axis=-2)  # (B, 16)
+    # scale = (z^N - 1) / N ; N power of two -> log2(N) squarings
+    zn = z_mont
+    for _ in range(n.bit_length() - 1):
+        zn = L.mont_sqr(FR, zn)
+    one = jnp.broadcast_to(jnp.asarray(FR.one_mont, jnp.uint32), zn.shape)
+    ninv = jnp.broadcast_to(jnp.asarray(_n_inv_mont(n), jnp.uint32), zn.shape)
+    scale = L.mont_mul(FR, L.sub(FR, zn, one), ninv)
+    y = L.mont_mul(FR, s, scale)
+    return jnp.where(any_hit[..., None], y_hit, y)
+
+
+@jax.jit
+def quotient(elements_mont, z_mont, y_mont, setup_roots, setup_inv_roots):
+    """Quotient polynomial q_i = (f_i - y)/(w_i - z) with the masked
+    special-case row when z == w_hit (reference poly.rs:44-66).
+
+    Returns q_mont (B, N, 16).
+    """
+    roots = setup_roots
+    B = elements_mont.shape[0]
+    rootsb = jnp.broadcast_to(roots, elements_mont.shape)
+    hit = L.eq(z_mont[:, None, :], roots[None, :, :])  # (B, N)
+    d = L.sub(FR, rootsb, z_mont[:, None, :])  # (w_i - z)
+    invs = L.batch_inv(FR, d, axis=-2)  # hit lane -> 0
+    fy = L.sub(FR, elements_mont, jnp.broadcast_to(y_mont[:, None, :], elements_mont.shape))
+    q = L.mont_mul(FR, fy, invs)
+    # special row: q_hit = (sum_j (f_j - y) w_j inv(w_hit - w_j)) / w_hit
+    #            = -(sum_j (f_j - y) w_j invs_j) * inv_root_hit   (invs_hit = 0)
+    t = L.mont_mul(FR, L.mont_mul(FR, fy, rootsb), invs)
+    s = L.neg(FR, L.sum_mod(FR, t, axis=-2))  # (B, 16)
+    inv_hit = L.sum_mod(
+        FR,
+        jnp.where(hit[..., None], jnp.broadcast_to(setup_inv_roots, elements_mont.shape),
+                  jnp.zeros_like(elements_mont)),
+        axis=-2,
+    )
+    q_hit = L.mont_mul(FR, s, inv_hit)  # (B, 16)
+    return jnp.where(hit[..., None], q_hit[:, None, :], q)
+
+
+# ---------------------------------------------------------------------------
+# MSM / commitments
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(2,))
+def commit_msm(g1_points, scalars_plain, window: int = 8):
+    """Batched Pippenger commitment: (B, N, 16) plain scalars against the
+    (N,)-point table -> batched projective G1 points (each coord (B, 24)).
+    (reference blob.rs:48-53 / poly.rs:68 -> bls.rs:415-437)."""
+    return jax.vmap(lambda s: msm_mod.msm(F1, g1_points, s, c=window))(scalars_plain)
+
+
+# ---------------------------------------------------------------------------
+# verification
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def verify_kzg(proof_pt, commitment_pt, z_plain, y_plain, tau2):
+    """e(proof, [tau]_2 - z G2) == e(C - y G1, G2), batched over leading
+    dim (reference setup.rs:84-94).  z/y are PLAIN digit planes (B, 16)."""
+    batch = z_plain.shape[:-1]
+    neg_g2 = ops.pneg(F2, g2mod.GENERATOR)
+    neg_g1 = ops.pneg(F1, g1mod.GENERATOR)
+    zg2 = ops.scalar_mul(F2, neg_g2, z_plain)
+    tau2b = tuple(jnp.broadcast_to(t, (*batch, *t.shape)) for t in tau2)
+    a2 = ops.padd(F2, tau2b, zg2)
+    yg1 = ops.scalar_mul(F1, neg_g1, y_plain)
+    b1 = ops.padd(F1, commitment_pt, yg1)
+    g2gen = tuple(jnp.broadcast_to(g, (*batch, *g.shape)) for g in g2mod.GENERATOR)
+    return pairing.verify_pairings((proof_pt, a2), (b1, g2gen))
+
+
+@jax.jit
+def verify_batch_rlc(proof_pts, cme_pts, zw_plain, w_plain, tau2):
+    """Batch RLC check (reference setup.rs:115-161):
+        e(sum w_i proof_i, [tau]_2) == e(sum w_i (C_i - y_i G1) + sum (w_i z_i) proof_i, G2)
+
+    proof_pts / cme_pts: batched points (n, ...); w / z*w: (n, 16) plain.
+    cme_pts are the already-combined (C_i - y_i G1) points.
+    """
+    lhs1 = msm_mod.lincomb_small(F1, proof_pts, w_plain)
+    lhs2 = msm_mod.lincomb_small(F1, cme_pts, w_plain)
+    lhs3 = msm_mod.lincomb_small(F1, proof_pts, zw_plain)
+    rhs = ops.padd(F1, lhs2, lhs3)
+    return pairing.verify_pairings((lhs1, tau2), (rhs, g2mod.GENERATOR))
+
+
+@jax.jit
+def commitments_minus_evals(commitment_pts, y_plain):
+    """C_i - y_i G1 for the batch check (reference setup.rs:235-242)."""
+    neg_g1 = ops.pneg(F1, g1mod.GENERATOR)
+    yg1 = ops.scalar_mul(F1, neg_g1, y_plain)
+    return ops.padd(F1, commitment_pts, yg1)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery codecs for Fr planes
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def fr_to_mont(x_plain):
+    return L.to_mont(FR, x_plain)
+
+
+@jax.jit
+def fr_from_mont(x_mont):
+    return L.from_mont(FR, x_mont)

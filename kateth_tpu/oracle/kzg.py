@@ -54,13 +54,13 @@ def compute_roots_of_unity(order: int = FIELD_ELEMENTS_PER_BLOB):
     return roots
 
 
-def blob_from_bytes(data: bytes) -> list[int]:
+def blob_from_bytes(data: bytes, n: int = FIELD_ELEMENTS_PER_BLOB) -> list[int]:
     """Validate and decode a blob: every 32-byte chunk canonical BE Fr
     (reference Blob::from_slice, blob.rs:26-37)."""
-    if len(data) != BYTES_PER_BLOB:
+    if len(data) != 32 * n:
         raise KzgError("invalid blob length")
     out = []
-    for i in range(0, BYTES_PER_BLOB, 32):
+    for i in range(0, 32 * n, 32):
         v = fr_from_be_bytes(data[i : i + 32])
         if v is None:
             raise KzgError("non-canonical field element in blob")
@@ -76,19 +76,21 @@ def blob_to_bytes(elements) -> bytes:
 class OracleSetup:
     """Trusted setup with BRP'd tables (reference Setup, setup.rs:38-42)."""
 
-    g1_lagrange_brp: list  # 4096 Jacobian G1 points
-    g2_monomial: list  # 65 Jacobian G2 points
-    roots_brp: list[int]  # 4096 Fr ints
+    g1_lagrange_brp: list  # n Jacobian G1 points
+    g2_monomial: list  # g2_len Jacobian G2 points
+    roots_brp: list[int]  # n Fr ints
+    n: int = FIELD_ELEMENTS_PER_BLOB
 
     @classmethod
-    def load_json(cls, path, subgroup_check: bool = True):
+    def load_json(cls, path, subgroup_check: bool = True,
+                  n: int = FIELD_ELEMENTS_PER_BLOB, g2_len: int = SETUP_G2_LEN):
         with open(path) as f:
             raw = json.load(f)
         g1 = raw["g1_lagrange"]
         g2 = raw["g2_monomial"]
-        if len(g1) != FIELD_ELEMENTS_PER_BLOB:
+        if len(g1) != n:
             raise KzgError("invalid g1_lagrange length")
-        if len(g2) != SETUP_G2_LEN:
+        if len(g2) != g2_len:
             raise KzgError("invalid g2_monomial length")
         g1_pts = [
             c.g1_decompress(bytes.fromhex(h[2:] if h.startswith("0x") else h), subgroup_check)
@@ -98,12 +100,43 @@ class OracleSetup:
             c.g2_decompress(bytes.fromhex(h[2:] if h.startswith("0x") else h), subgroup_check)
             for h in g2
         ]
-        roots = compute_roots_of_unity()
+        roots = compute_roots_of_unity(n)
         return cls(
             g1_lagrange_brp=bit_reversal_permutation(g1_pts),
             g2_monomial=g2_pts,
             roots_brp=bit_reversal_permutation(roots),
+            n=n,
         )
+
+    @classmethod
+    def generate_insecure(cls, n: int, g2_len: int = 2, tau: int = 0xDEADBEEF1234):
+        """Small KNOWN-SECRET setup for tests: g1_lagrange[i] = [L_i(tau)]_1
+        over the (non-BRP) domain, g2_monomial[j] = [tau^j]_2.
+
+        L_i(tau) = (tau^n - 1) * w_i / (n * (tau - w_i))  for tau not a root.
+        """
+        roots = compute_roots_of_unity(n)
+        scale = (pow(tau, n, R) - 1) * pow(n, R - 2, R) % R
+        lag = [scale * w % R * pow((tau - w) % R, R - 2, R) % R for w in roots]
+        g1_pts = [c.g1_mul(c.G1_GEN, l) for l in lag]
+        g2_pts = [c.g2_mul(c.G2_GEN, pow(tau, j, R)) for j in range(g2_len)]
+        return cls(
+            g1_lagrange_brp=bit_reversal_permutation(g1_pts),
+            g2_monomial=g2_pts,
+            roots_brp=bit_reversal_permutation(roots),
+            n=n,
+        )
+
+    def to_json_dict(self) -> dict:
+        """Re-serialize as a trusted-setup JSON dict (undoes the BRP)."""
+        inv = bit_reversal_permutation(list(range(self.n)))
+        g1 = [None] * self.n
+        for i, p in enumerate(self.g1_lagrange_brp):
+            g1[inv[i]] = "0x" + c.g1_compress(p).hex()
+        return {
+            "g1_lagrange": g1,
+            "g2_monomial": ["0x" + c.g2_compress(p).hex() for p in self.g2_monomial],
+        }
 
     # -- internals ---------------------------------------------------------
 
@@ -111,7 +144,7 @@ class OracleSetup:
         """Fiat-Shamir challenge (reference Blob::challenge, blob.rs:78-97)."""
         data = (
             FS_DOMAIN
-            + FIELD_ELEMENTS_PER_BLOB.to_bytes(16, "big")
+            + self.n.to_bytes(16, "big")
             + blob_to_bytes(elements)
             + commitment_bytes
         )
@@ -121,7 +154,7 @@ class OracleSetup:
         """Barycentric evaluation (reference Polynomial::evaluate,
         poly.rs:10-33), with batched inversion instead of per-term."""
         roots = self.roots_brp
-        n = FIELD_ELEMENTS_PER_BLOB
+        n = self.n
         for i in range(n):
             if z == roots[i]:
                 return elements[i]
@@ -137,7 +170,7 @@ class OracleSetup:
         """Quotient polynomial q_i = (f_i - y)/(w_i - z) with the O(N)
         special-case row when z hits a root (reference poly.rs:44-66)."""
         roots = self.roots_brp
-        n = FIELD_ELEMENTS_PER_BLOB
+        n = self.n
         hit = None
         for i in range(n):
             if z == roots[i]:
@@ -167,12 +200,12 @@ class OracleSetup:
     # -- the six public operations (reference setup.rs:96-275) -------------
 
     def blob_to_commitment(self, blob: bytes) -> bytes:
-        elements = blob_from_bytes(blob)
+        elements = blob_from_bytes(blob, self.n)
         return c.g1_compress(self._commit(elements))
 
     def proof(self, blob: bytes, z_bytes: bytes) -> tuple[bytes, bytes]:
         """compute_kzg_proof: returns (proof_48, y_32)."""
-        elements = blob_from_bytes(blob)
+        elements = blob_from_bytes(blob, self.n)
         z = fr_from_be_bytes(bytes(z_bytes))
         if z is None:
             raise KzgError("invalid evaluation point")
@@ -183,7 +216,7 @@ class OracleSetup:
 
     def blob_proof(self, blob: bytes, commitment: bytes) -> bytes:
         """compute_blob_kzg_proof."""
-        elements = blob_from_bytes(blob)
+        elements = blob_from_bytes(blob, self.n)
         c.g1_decompress(bytes(commitment))  # validation (setup.rs:179-180)
         z = self._challenge(elements, bytes(commitment))
         y = self._evaluate(elements, z)
@@ -207,7 +240,7 @@ class OracleSetup:
         return pr.verify_pairings((proof_pt, a2), (b1, c.G2_GEN))
 
     def verify_blob_proof(self, blob: bytes, commitment: bytes, proof: bytes) -> bool:
-        elements = blob_from_bytes(blob)
+        elements = blob_from_bytes(blob, self.n)
         comm_pt = c.g1_decompress(bytes(commitment))
         proof_pt = c.g1_decompress(bytes(proof))
         z = self._challenge(elements, bytes(commitment))
@@ -224,7 +257,7 @@ class OracleSetup:
         """
         assert len(blobs) == len(commitments) == len(proofs)
         n = len(blobs)
-        blob_elements = [blob_from_bytes(b) for b in blobs]
+        blob_elements = [blob_from_bytes(b, self.n) for b in blobs]
         comm_pts = [c.g1_decompress(bytes(cm)) for cm in commitments]
         proof_pts = [c.g1_decompress(bytes(p)) for p in proofs]
 
@@ -235,7 +268,7 @@ class OracleSetup:
             challenges.append(z)
             evals.append(self._evaluate(elements, z))
 
-        data = RC_DOMAIN + FIELD_ELEMENTS_PER_BLOB.to_bytes(16, "big") + n.to_bytes(16, "big")
+        data = RC_DOMAIN + self.n.to_bytes(16, "big") + n.to_bytes(16, "big")
         r = hash_to_fr(data)
         weights = [pow(r, i, R) for i in range(n)]
 

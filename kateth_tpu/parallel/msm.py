@@ -1,0 +1,80 @@
+"""Distributed MSM and commitments.
+
+Two orthogonal sharding strategies (composable in principle, exposed
+separately):
+
+* **Point sharding** (tensor-parallel analog): the N points and scalars of
+  ONE multiscalar multiplication are split across the mesh; every device
+  runs the full windowed-Pippenger kernel on its N/D-point shard — an MSM
+  is a plain sum, so shards combine with a single point-add reduction over
+  ICI (all_gather of D projective points + a local log-depth tree; the
+  payload is ~kB, so latency not bandwidth bound).  This is how the 2^12 —
+  2^20 MSM sweep scales (BASELINE config 4); no reference counterpart
+  exists (the reference's Pippenger is single-threaded, src/bls.rs:415-437).
+
+* **Blob sharding** (data-parallel analog): a batch of independent
+  commitments splits its batch axis across the mesh with the point table
+  replicated; zero communication until the caller gathers the results
+  (BASELINE config 5 pipeline).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves import ops, msm as msm_mod
+from .mesh import AXIS
+
+F1 = ops.FP_FIELD
+
+
+def _allreduce_point(F, p, axis_name):
+    """Point-add reduction across a mesh axis: all_gather + local tree."""
+    gathered = tuple(jax.lax.all_gather(c, axis_name, axis=0) for c in p)
+    return msm_mod.tree_sum(F, gathered, axis=0)
+
+
+def sharded_msm(mesh, points, scalars_plain, window: int = 8):
+    """One MSM with points+scalars sharded over the mesh's AXIS.
+
+    points: projective tuple, coords (N, ...); scalars (N, 16) plain.
+    N must divide evenly by the mesh size.  Returns a replicated point.
+    """
+    pspec = (P(AXIS), P(AXIS), P(AXIS))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, P(AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+    def run(pts, scal):
+        local = msm_mod.msm(F1, pts, scal, c=window)
+        return _allreduce_point(F1, local, AXIS)
+
+    return run(points, scalars_plain)
+
+
+def sharded_commit(mesh, points, scalars_batch, window: int = 8):
+    """Batched commitments, batch axis sharded, point table replicated.
+
+    points: coords (N, ...); scalars_batch: (B, N, 16) plain, B divisible
+    by mesh size.  Returns batched points, batch-sharded.
+    """
+    pspec = (P(), P(), P())
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+    )
+    def run(pts, scal):
+        return jax.vmap(lambda s: msm_mod.msm(F1, pts, s, c=window))(scal)
+
+    return run(points, scalars_batch)

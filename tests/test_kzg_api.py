@@ -1,0 +1,120 @@
+"""End-to-end device KZG API vs the oracle on a small insecure setup.
+
+The full 4096-element mainnet config only runs fast on real TPU hardware
+(bench.py self-checks it there against vendored spec vectors); these CPU
+tests exercise the identical size-generic code paths at n=8.
+"""
+
+import random
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kateth_tpu.kzg import Kzg, KzgConfig, KzgError, DeviceSetup
+from kateth_tpu.oracle.kzg import OracleSetup, blob_to_bytes
+from kateth_tpu.oracle import field as of
+
+rng = random.Random(0x6B7A67)
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def osetup():
+    return OracleSetup.generate_insecure(N, g2_len=2)
+
+
+@pytest.fixture(scope="module")
+def kzg(osetup):
+    cfg = KzgConfig(n=N, g2_len=2)
+    return Kzg(DeviceSetup.from_oracle(osetup, cfg))
+
+
+def rand_blob():
+    return blob_to_bytes([rng.randrange(of.R) for _ in range(N)])
+
+
+def test_commitment_matches_oracle(kzg, osetup):
+    blobs = [rand_blob() for _ in range(3)]
+    got = kzg.blobs_to_kzg_commitments(blobs)
+    want = [osetup.blob_to_commitment(b) for b in blobs]
+    assert got == want
+
+
+def test_compute_proof_matches_oracle(kzg, osetup):
+    blobs = [rand_blob() for _ in range(2)]
+    zs = [of.fr_to_be_bytes(rng.randrange(of.R)) for _ in range(2)]
+    proofs, ys = kzg.compute_kzg_proofs(blobs, zs)
+    for b, z, p, y in zip(blobs, zs, proofs, ys):
+        wp, wy = osetup.proof(b, z)
+        assert (p, y) == (wp, wy)
+
+
+def test_compute_proof_at_root(kzg, osetup):
+    """z equal to a domain root exercises the masked special-case row
+    (reference poly.rs:48-64)."""
+    blob = rand_blob()
+    z = of.fr_to_be_bytes(osetup.roots_brp[5])
+    proof, y = kzg.compute_kzg_proof(blob, z)
+    wp, wy = osetup.proof(blob, z)
+    assert (proof, y) == (wp, wy)
+
+
+def test_blob_proof_and_verify(kzg, osetup):
+    blob = rand_blob()
+    cm = kzg.blob_to_kzg_commitment(blob)
+    proof = kzg.compute_blob_kzg_proof(blob, cm)
+    assert proof == osetup.blob_proof(blob, cm)
+    assert kzg.verify_blob_kzg_proof(blob, cm, proof) is True
+    # wrong proof: honest False, not an error
+    other = kzg.compute_blob_kzg_proof(rand_blob(), cm)
+    assert kzg.verify_blob_kzg_proof(blob, cm, other) is False
+
+
+def test_verify_kzg_proof(kzg, osetup):
+    blob = rand_blob()
+    cm = kzg.blob_to_kzg_commitment(blob)
+    z = of.fr_to_be_bytes(4242)
+    proof, y = kzg.compute_kzg_proof(blob, z)
+    assert kzg.verify_kzg_proof(proof, cm, z, y) is True
+    bad_y = of.fr_to_be_bytes((int.from_bytes(y, "big") + 1) % of.R)
+    assert kzg.verify_kzg_proof(proof, cm, z, bad_y) is False
+
+
+def test_verify_batch(kzg, osetup):
+    blobs = [rand_blob() for _ in range(3)]
+    cms = kzg.blobs_to_kzg_commitments(blobs)
+    proofs = kzg.compute_blob_kzg_proofs(blobs, cms)
+    assert kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs) is True
+    assert kzg.verify_blob_kzg_proof_batch([], [], []) is True
+    # swapped proofs: False
+    assert (
+        kzg.verify_blob_kzg_proof_batch(blobs, cms, [proofs[1], proofs[0], proofs[2]])
+        is False
+    )
+
+
+class TestErrors:
+    def test_bad_blob_length(self, kzg):
+        with pytest.raises(KzgError):
+            kzg.blob_to_kzg_commitment(b"\x00" * 31)
+
+    def test_noncanonical_blob_element(self, kzg):
+        blob = bytearray(rand_blob())
+        blob[0:32] = b"\xff" * 32
+        with pytest.raises(KzgError):
+            kzg.blob_to_kzg_commitment(bytes(blob))
+
+    def test_noncanonical_z(self, kzg):
+        with pytest.raises(KzgError):
+            kzg.compute_kzg_proof(rand_blob(), b"\xff" * 32)
+
+    def test_bad_point(self, kzg):
+        blob = rand_blob()
+        with pytest.raises(KzgError):
+            kzg.compute_blob_kzg_proof(blob, b"\x01" * 48)
+
+    def test_batch_length_mismatch(self, kzg):
+        with pytest.raises(KzgError):
+            kzg.verify_blob_kzg_proof_batch([rand_blob()], [], [])
