@@ -49,8 +49,13 @@ def _self_check(kzg, osetup) -> None:
 
 
 def main() -> None:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".cache", "jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from kateth_tpu.kzg import Kzg, DeviceSetup
     from kateth_tpu.oracle.kzg import OracleSetup, blob_to_bytes

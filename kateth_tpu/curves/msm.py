@@ -55,24 +55,32 @@ def prefix_scan(F: CurveField, p, axis: int = 0):
 
     log2(N) lax.scan steps; each step is ONE complete-formula add over the
     full fixed shape.  N must be a power of two.
+
+    The shift-by-2^k is a dynamic_slice out of an identity-padded buffer
+    (identity points slide in from below, so no masking is needed).  An
+    earlier jnp.roll + select formulation hit an XLA:TPU miscompile when
+    fused with its producer — keep this formulation.
     """
     n = jnp.shape(p[0])[axis]
     assert n & (n - 1) == 0, "prefix_scan requires power-of-two length"
     steps = n.bit_length() - 1
     if n == 1:
         return p
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # reshape pos for broadcasting against batch dims on `axis`
-    bshape = [1] * (p[0].ndim - _fdim(F))
-    bshape[axis] = n
-    pos = pos.reshape(bshape)
+    ax = axis % p[0].ndim
+    ident = tuple(
+        jnp.broadcast_to(i, tuple(jnp.shape(c)))
+        for i, c in zip(ops.identity(F), p)
+    )
 
     def step(acc, k):
         shift = jnp.int32(1) << k
-        shifted = _roll_axis(acc, shift, axis)
-        mask = pos >= shift  # rolled-in wraparound must not contribute
-        contrib = ops.pselect(F, mask, shifted, ops.identity(F, mask.shape))
-        return ops.padd(F, acc, contrib), None
+        big = tuple(
+            jnp.concatenate([i, a], axis=ax) for i, a in zip(ident, acc)
+        )
+        shifted = tuple(
+            jax.lax.dynamic_slice_in_dim(b, n - shift, n, axis=ax) for b in big
+        )
+        return ops.padd(F, acc, shifted), None
 
     out, _ = jax.lax.scan(step, p, jnp.arange(steps, dtype=jnp.int32))
     return out

@@ -34,7 +34,12 @@ from ..fields.specs import FP, FR
 
 @dataclass(frozen=True, eq=False)
 class CurveField:
-    """Field adapter giving the curve formulas a uniform interface."""
+    """Field adapter giving the curve formulas a uniform interface.
+
+    The *_many batching methods exist for the XLA compilation model: each
+    field op instantiates a ~200-op carry chain, so the curve formulas
+    stack every independent group of adds/subs/products into ONE call.
+    """
 
     name: str
     add: Callable
@@ -49,6 +54,9 @@ class CurveField:
     expand: Callable  # broadcast a (...,)-mask over field trailing dims
     inv: Callable
     sqr_many: Callable  # list[a] -> list of squares
+    add_many: Callable = None  # list[(a, b)] -> list of sums, one chain
+    sub_many: Callable = None  # list[(a, b)] -> list of diffs, one chain
+    smallmul_many: Callable = None  # list[(a, k, xi?)] -> list, one chain
 
 
 def _fp_mul_many(pairs):
@@ -56,6 +64,27 @@ def _fp_mul_many(pairs):
     rhs = jnp.stack([b for _, b in pairs], axis=0)
     p = L.mont_mul(FP, lhs, rhs)
     return [p[i] for i in range(len(pairs))]
+
+
+def _stacked_binop(op):
+    def run(pairs):
+        lhs = jnp.stack([jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
+                         for a, b in pairs], axis=0)
+        rhs = jnp.stack([jnp.broadcast_to(b, jnp.broadcast_shapes(a.shape, b.shape))
+                         for a, b in pairs], axis=0)
+        out = op(lhs, rhs)
+        return [out[i] for i in range(len(pairs))]
+
+    return run
+
+
+def _fp_smallmul_many(items):
+    """items: [(elem, k, apply_xi)] — xi ignored for Fp."""
+    xs = jnp.stack([x for x, _, _ in items], axis=0)
+    ks = np.array([k for _, k, _ in items], dtype=np.uint32)
+    ks = ks.reshape(-1, *([1] * (xs.ndim - 2)))
+    out = L.mul_small(FP, xs, ks)
+    return [out[i] for i in range(len(items))]
 
 
 FP_FIELD = CurveField(
@@ -74,27 +103,37 @@ FP_FIELD = CurveField(
     expand=lambda m: m[..., None],
     inv=lambda a: L.inv(FP, a),
     sqr_many=lambda xs: _fp_mul_many([(x, x) for x in xs]),
+    add_many=_stacked_binop(lambda a, b: L.add(FP, a, b)),
+    sub_many=_stacked_binop(lambda a, b: L.sub(FP, a, b)),
+    smallmul_many=_fp_smallmul_many,
 )
 
 
 def _fp2_mul_many(pairs):
-    """Batch n Fp2 Karatsuba products into one (3n)-wide Fp multiply."""
-    n = len(pairs)
-    lhs_rows = []
-    rhs_rows = []
-    for a, b in pairs:
-        a0, a1 = a[..., 0, :], a[..., 1, :]
-        b0, b1 = b[..., 0, :], b[..., 1, :]
-        lhs_rows += [a0, a1, L.add(FP, a0, a1)]
-        rhs_rows += [b0, b1, L.add(FP, b0, b1)]
-    p = L.mont_mul(FP, jnp.stack(lhs_rows, 0), jnp.stack(rhs_rows, 0))
-    out = []
-    for i in range(n):
-        t0, t1, t2 = p[3 * i], p[3 * i + 1], p[3 * i + 2]
-        c0 = L.sub(FP, t0, t1)
-        c1 = L.sub(FP, t2, L.add(FP, t0, t1))
-        out.append(jnp.stack([c0, c1], axis=-2))
-    return out
+    """Batch n Fp2 Karatsuba products: stacked tensors, ~7 carry chains
+    total regardless of n."""
+    shapes = [jnp.broadcast_shapes(a.shape, b.shape) for a, b in pairs]
+    A = jnp.stack([jnp.broadcast_to(a, s) for (a, _), s in zip(pairs, shapes)], 0)
+    B = jnp.stack([jnp.broadcast_to(b, s) for (_, b), s in zip(pairs, shapes)], 0)
+    out = fp2.mul(A, B)
+    return [out[i] for i in range(len(pairs))]
+
+
+def _fp2_smallmul_many(items):
+    """items: [(elem, k, apply_xi)] — one xi pass + one widened multiply."""
+    xs = [x for x, _, _ in items]
+    flags = [f for _, _, f in items]
+    if any(flags):
+        xi_idx = [i for i, f in enumerate(flags) if f]
+        stacked = jnp.stack([xs[i] for i in xi_idx], axis=0)
+        xied = fp2.mul_by_xi(stacked)
+        for j, i in enumerate(xi_idx):
+            xs[i] = xied[j]
+    st = jnp.stack(xs, axis=0)
+    ks = np.array([k for _, k, _ in items], dtype=np.uint32)
+    ks = ks.reshape(-1, *([1] * (st.ndim - 2)))
+    out = L.mul_small(FP, st, ks)
+    return [out[i] for i in range(len(items))]
 
 
 FP2_FIELD = CurveField(
@@ -111,6 +150,9 @@ FP2_FIELD = CurveField(
     expand=lambda m: m[..., None, None],
     inv=fp2.inv,
     sqr_many=lambda xs: _fp2_mul_many([(x, x) for x in xs]),
+    add_many=_stacked_binop(fp2.add),
+    sub_many=_stacked_binop(fp2.sub),
+    smallmul_many=_fp2_smallmul_many,
 )
 
 
@@ -128,49 +170,43 @@ def is_identity(F: CurveField, p):
 
 
 def padd(F: CurveField, p, q):
-    """Complete projective addition (RCB16 Algorithm 7, a=0)."""
+    """Complete projective addition (RCB16 Algorithm 7, a=0).
+
+    Every independent group of adds/subs/small-multiplies is one stacked
+    carry chain: ~10 field-op instantiations total.
+    """
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
-    m0, m1, m2, m3, m4, m5 = F.mul_many(
-        [
-            (X1, X2),
-            (Y1, Y2),
-            (Z1, Z2),
-            (F.add(X1, Y1), F.add(X2, Y2)),
-            (F.add(Y1, Z1), F.add(Y2, Z2)),
-            (F.add(X1, Z1), F.add(X2, Z2)),
-        ]
+    s1, s2, s3, s4, s5, s6 = F.add_many(
+        [(X1, Y1), (X2, Y2), (Y1, Z1), (Y2, Z2), (X1, Z1), (X2, Z2)]
     )
-    t3 = F.sub(m3, F.add(m0, m1))  # X1Y2 + X2Y1
-    t4 = F.sub(m4, F.add(m1, m2))  # Y1Z2 + Y2Z1
-    ty = F.sub(m5, F.add(m0, m2))  # X1Z2 + X2Z1
-    t0 = F.add(F.add(m0, m0), m0)  # 3 X1X2
-    t2 = F.mul_b3(m2)  # b3 Z1Z2
-    z3 = F.add(m1, t2)
+    m0, m1, m2, m3, m4, m5 = F.mul_many(
+        [(X1, X2), (Y1, Y2), (Z1, Z2), (s1, s2), (s3, s4), (s5, s6)]
+    )
+    s01, s12, s02, d0 = F.add_many([(m0, m1), (m1, m2), (m0, m2), (m0, m0)])
+    t3, t4, ty = F.sub_many([(m3, s01), (m4, s12), (m5, s02)])
+    t2, = F.smallmul_many([(m2, 12, True)])
+    t0, z3 = F.add_many([(d0, m0), (m1, t2)])  # 3 X1X2 ; m1 + b3 Z1Z2
     t1 = F.sub(m1, t2)
-    y3 = F.mul_b3(ty)
+    y3, = F.smallmul_many([(ty, 12, True)])
     n0, n1, n2, n3, n4, n5 = F.mul_many(
         [(t4, y3), (t3, t1), (y3, t0), (t1, z3), (t0, t3), (z3, t4)]
     )
     X3 = F.sub(n1, n0)
-    Y3 = F.add(n3, n2)
-    Z3 = F.add(n5, n4)
+    Y3, Z3 = F.add_many([(n3, n2), (n5, n4)])
     return (X3, Y3, Z3)
 
 
 def pdouble(F: CurveField, p):
-    """Complete projective doubling (RCB16 Algorithm 9, a=0)."""
+    """Complete projective doubling (RCB16 Algorithm 9, a=0); grouped ops."""
     X, Y, Z = p
     a, bb, c, d = F.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
-    e = F.mul_b3(c)  # b3 Z^2
-    a8 = F.add(F.add(a, a), F.add(a, a))
-    a8 = F.add(a8, a8)  # 8 Y^2
-    t2 = F.add(F.add(e, e), e)  # 3 b3 Z^2
+    # e = b3 Z^2 ; t2 = 3 b3 Z^2 ; a8 = 8 Y^2 — one widened multiply
+    e, t2, a8 = F.smallmul_many([(c, 12, True), (c, 36, True), (a, 8, False)])
     t0 = F.sub(a, t2)
     y3a = F.add(a, e)
     n0, n1, n2, n3 = F.mul_many([(e, a8), (bb, a8), (t0, y3a), (t0, d)])
-    X3 = F.add(n3, n3)
-    Y3 = F.add(n0, n2)
+    X3, Y3 = F.add_many([(n3, n3), (n0, n2)])
     Z3 = n1
     return (X3, Y3, Z3)
 

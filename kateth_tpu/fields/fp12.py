@@ -1,10 +1,16 @@
 """Fp12 = Fp6[w]/(w^2 - v) on digit planes.
 
-An Fp12 element is a ``(..., 2, 3, 2, D)`` uint32 array.  A full Fp12
-multiply is 3 Fp6 multiplies = 54 base-field products, flattened into ONE
-stacked Montgomery multiply; a squaring uses the complex-squaring identity
-(2 Fp6-equivalents = 36 rows).  Frobenius uses precomputed gamma constants
-(device-resident, Montgomery form).
+An Fp12 element is a ``(..., 2, 3, 2, D)`` uint32 array.
+
+Compilation-model design: the XLA graph cost of a tower operation is
+dominated by the NUMBER of distinct field-op instantiations (each carry
+chain is ~200 HLO ops), not by arithmetic volume.  So every operation
+here is written in "coordinate-tensor" form: the element is viewed as a
+(..., 12, D) plane and all structural adds/subs/negs of the schoolbook
+formulas execute as a handful of SLICED TENSOR ops (one carry chain each,
+vectorized over coordinates), with all 54 base-field products of a full
+multiply in ONE stacked Montgomery multiply.  A dense fp12 multiply costs
+~13 field-op instantiations instead of ~130.
 
 Replaces the blst fp12 surface behind blst_miller_loop / blst_final_exp /
 blst_fp12_mul / blst_fp12_is_one (reference src/bls.rs:591-596).
@@ -51,66 +57,155 @@ def sub(a, b):
 
 
 def conj(a):
-    """a0 - a1 w (== Frobenius^6; inverse on the cyclotomic subgroup)."""
-    return jnp.stack([a[..., 0, :, :, :], fp6.neg(a[..., 1, :, :, :])], axis=-4)
+    """a0 - a1 w (== Frobenius^6; inverse on the cyclotomic subgroup).
+    One negation instantiation over the whole a1 half."""
+    return jnp.concatenate(
+        [a[..., 0:1, :, :, :], L.neg(FP, a[..., 1:2, :, :, :])], axis=-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# coordinate-tensor machinery
+# ---------------------------------------------------------------------------
+#
+# An Fp6 operand is a (..., 3, 2, D) tensor (3 Fp2 coords).  Its Karatsuba
+# row block is (..., 18, D): 6 Fp2 products (t0,t1,t2 of the coordinate
+# pairs and s0,s1,s2 of the coordinate sums), each expanded to 3 Fp rows.
+
+_IDX_A = np.array([1, 0, 0])  # fp2-coord sums: (x1+x2, x0+x1, x0+x2)
+_IDX_B = np.array([2, 1, 2])
+
+
+def _fp6_rows(X: jax.Array) -> jax.Array:
+    """(..., 3, 2, D) -> (..., 18, D) Karatsuba row block (2 add chains)."""
+    s = L.add(FP, X[..., _IDX_A, :, :], X[..., _IDX_B, :, :])  # (..., 3, 2, D)
+    x6 = jnp.concatenate([X, s], axis=-3)  # (..., 6, 2, D)
+    c0 = x6[..., 0, :]
+    c1 = x6[..., 1, :]
+    c01 = L.add(FP, c0, c1)
+    rows = jnp.stack([c0, c1, c01], axis=-2)  # (..., 6, 3, D)
+    return rows.reshape(*rows.shape[:-3], 18, rows.shape[-1])
+
+
+def _fp6_from_products(p: jax.Array) -> jax.Array:
+    """(..., 18, D) row products -> (..., 3, 2, D) Fp6 result (5 chains)."""
+    q = p.reshape(*p.shape[:-2], 6, 3, p.shape[-1])  # (..., 6 prods, 3 rows, D)
+    t01 = L.add(FP, q[..., 0, :], q[..., 1, :])  # (..., 6, D)
+    c0 = L.sub(FP, q[..., 0, :], q[..., 1, :])
+    c1 = L.sub(FP, q[..., 2, :], t01)
+    f2 = jnp.stack([c0, c1], axis=-2)  # (..., 6, 2, D) Fp2 products
+    t = f2[..., 0:3, :, :]  # t0, t1, t2
+    s = f2[..., 3:6, :, :]  # s0, s1, s2
+    u = L.add(FP, t[..., _IDX_A, :, :], t[..., _IDX_B, :, :])
+    v = L.sub(FP, s, u)  # (s0-(t1+t2), s1-(t0+t1), s2-(t0+t2))
+    # c0 = t0 + xi v0 ; c1 = v1 + xi t2 ; c2 = v2 + t1   (xi = 1+u)
+    xi_in = jnp.stack([v[..., 0, :, :], t[..., 2, :, :]], axis=-3)  # (..., 2, 2, D)
+    xi_out = _mul_by_xi_nd(xi_in)
+    lhs = jnp.stack([t[..., 0, :, :], v[..., 1, :, :], v[..., 2, :, :]], axis=-3)
+    rhs = jnp.stack([xi_out[..., 0, :, :], xi_out[..., 1, :, :], t[..., 1, :, :]], axis=-3)
+    return L.add(FP, lhs, rhs)  # (..., 3, 2, D)
+
+
+def _mul_by_xi_nd(a: jax.Array) -> jax.Array:
+    """xi = (1 + u) multiplication on stacked fp2 coords (..., 2, D):
+    (c0 - c1, c0 + c1) — one sub + one add over the whole stack."""
+    c0, c1 = a[..., 0, :], a[..., 1, :]
+    return jnp.stack([L.sub(FP, c0, c1), L.add(FP, c0, c1)], axis=-2)
+
+
+def _mul_by_v_nd(a: jax.Array) -> jax.Array:
+    """v * (fp6 tensor (..., 3, 2, D)): (a0,a1,a2) -> (xi a2, a0, a1)."""
+    return jnp.concatenate(
+        [_mul_by_xi_nd(a[..., 2:3, :, :]), a[..., 0:2, :, :]], axis=-3
+    )
 
 
 def mul(a, b):
-    """3 Fp6 products (Karatsuba) in one 54-row base multiply."""
+    """Dense multiply: 54 products in one stacked call, ~13 carry chains."""
     a0, a1 = a[..., 0, :, :, :], a[..., 1, :, :, :]
     b0, b1 = b[..., 0, :, :, :], b[..., 1, :, :, :]
-    lhs, rhs = [], []
-    for x, y in [(a0, b0), (a1, b1), (fp6.add(a0, a1), fp6.add(b0, b1))]:
-        l, r = fp6.mul_rows(x, y)
-        lhs += l
-        rhs += r
-    p = L.mont_mul(FP, jnp.stack(lhs, 0), jnp.stack(rhs, 0))
-    t0 = fp6.mul_from_rows([p[i] for i in range(18)])
-    t1 = fp6.mul_from_rows([p[i] for i in range(18, 36)])
-    s = fp6.mul_from_rows([p[i] for i in range(36, 54)])
-    c0 = fp6.add(t0, fp6.mul_by_v(t1))
-    c1 = fp6.sub(s, fp6.add(t0, t1))
+    a01 = L.add(FP, a0, a1)
+    b01 = L.add(FP, b0, b1)
+    AA = jnp.stack([a0, a1, a01], axis=-4)  # (..., 3, 3, 2, D)
+    BB = jnp.stack([b0, b1, b01], axis=-4)
+    p = L.mont_mul(FP, _fp6_rows(AA), _fp6_rows(BB))  # (..., 3, 18, D)
+    P = _fp6_from_products(p)  # (..., 3, 3, 2, D): A0B0, A1B1, (A0+A1)(B0+B1)
+    t0 = P[..., 0, :, :, :]
+    t1 = P[..., 1, :, :, :]
+    s = P[..., 2, :, :, :]
+    c0 = L.add(FP, t0, _mul_by_v_nd(t1))
+    c1 = L.sub(FP, s, L.add(FP, t0, t1))
     return jnp.stack([c0, c1], axis=-4)
 
 
 def sqr(a):
     """Complex squaring: c0 = (a0+a1)(a0+v a1) - t - v t, c1 = 2t, t = a0 a1."""
     a0, a1 = a[..., 0, :, :, :], a[..., 1, :, :, :]
-    lhs, rhs = [], []
-    for x, y in [(a0, a1), (fp6.add(a0, a1), fp6.add(a0, fp6.mul_by_v(a1)))]:
-        l, r = fp6.mul_rows(x, y)
-        lhs += l
-        rhs += r
-    p = L.mont_mul(FP, jnp.stack(lhs, 0), jnp.stack(rhs, 0))
-    t = fp6.mul_from_rows([p[i] for i in range(18)])
-    s = fp6.mul_from_rows([p[i] for i in range(18, 36)])
-    c0 = fp6.sub(s, fp6.add(t, fp6.mul_by_v(t)))
-    c1 = fp6.add(t, t)
+    lhs = jnp.stack([a0, L.add(FP, a0, a1)], axis=-4)  # (..., 2, 3, 2, D)
+    rhs = jnp.stack([a1, L.add(FP, a0, _mul_by_v_nd(a1))], axis=-4)
+    p = L.mont_mul(FP, _fp6_rows(lhs), _fp6_rows(rhs))  # (..., 2, 18, D)
+    P = _fp6_from_products(p)
+    t = P[..., 0, :, :, :]
+    s = P[..., 1, :, :, :]
+    c0 = L.sub(FP, s, L.add(FP, t, _mul_by_v_nd(t)))
+    c1 = L.add(FP, t, t)
     return jnp.stack([c0, c1], axis=-4)
+
+
+def _fp6_mul_pairs(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """Batched fp6 products: X, Y (..., k, 3, 2, D) -> (..., k, 3, 2, D)."""
+    return _fp6_from_products(L.mont_mul(FP, _fp6_rows(X), _fp6_rows(Y)))
+
+
+def _fp6_inv(a: jax.Array) -> jax.Array:
+    """Fp6 inversion (adjoint formula) in coordinate-tensor form."""
+    a0 = a[..., 0, :, :]
+    a1 = a[..., 1, :, :]
+    a2 = a[..., 2, :, :]
+    # stage 1: a0^2, a1*a2, a2^2, a0*a1, a1^2, a0*a2  (one fp2-row call)
+    lhs = jnp.stack([a0, a1, a2, a0, a1, a0], axis=-3)
+    rhs = jnp.stack([a0, a2, a2, a1, a1, a2], axis=-3)
+    p = _fp2_mul_nd(lhs, rhs)
+    xi2 = _mul_by_xi_nd(jnp.stack([p[..., 1, :, :], p[..., 2, :, :]], axis=-3))
+    c0 = L.sub(FP, p[..., 0, :, :], xi2[..., 0, :, :])  # a0^2 - xi a1 a2
+    c1 = L.sub(FP, xi2[..., 1, :, :], p[..., 3, :, :])  # xi a2^2 - a0 a1
+    c2 = L.sub(FP, p[..., 4, :, :], p[..., 5, :, :])  # a1^2 - a0 a2
+    # stage 2: a2 c1, a1 c2, a0 c0
+    q = _fp2_mul_nd(
+        jnp.stack([a2, a1, a0], axis=-3), jnp.stack([c1, c2, c0], axis=-3)
+    )
+    txi = _mul_by_xi_nd(L.add(FP, q[..., 0, :, :], q[..., 1, :, :]))
+    t = L.add(FP, txi, q[..., 2, :, :])
+    tinv = fp2.inv(t)
+    C = jnp.stack([c0, c1, c2], axis=-3)
+    return _fp2_mul_nd(C, jnp.broadcast_to(tinv[..., None, :, :], C.shape))
+
+
+def _fp2_mul_nd(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched fp2 products over a stacked coord axis: (..., k, 2, D)."""
+    a0, a1 = a[..., 0, :], a[..., 1, :]
+    b0, b1 = b[..., 0, :], b[..., 1, :]
+    lhs = jnp.stack([a0, a1, L.add(FP, a0, a1)], axis=-2)  # (..., k, 3, D)
+    rhs = jnp.stack([b0, b1, L.add(FP, b0, b1)], axis=-2)
+    p = L.mont_mul(FP, lhs, rhs)
+    t01 = L.add(FP, p[..., 0, :], p[..., 1, :])
+    c0 = L.sub(FP, p[..., 0, :], p[..., 1, :])
+    c1 = L.sub(FP, p[..., 2, :], t01)
+    return jnp.stack([c0, c1], axis=-2)
 
 
 def inv(a):
     """1/(a0 + a1 w) = (a0 - a1 w) / (a0^2 - v a1^2); zero -> zero."""
     a0, a1 = a[..., 0, :, :, :], a[..., 1, :, :, :]
-    lhs, rhs = [], []
-    for x, y in [(a0, a0), (a1, a1)]:
-        l, r = fp6.mul_rows(x, y)
-        lhs += l
-        rhs += r
-    p = L.mont_mul(FP, jnp.stack(lhs, 0), jnp.stack(rhs, 0))
-    s0 = fp6.mul_from_rows([p[i] for i in range(18)])
-    s1 = fp6.mul_from_rows([p[i] for i in range(18, 36)])
-    t = fp6.sub(s0, fp6.mul_by_v(s1))
-    tinv = fp6.inv(t)
-    lhs, rhs = [], []
-    for x in (a0, fp6.neg(a1)):
-        l, r = fp6.mul_rows(x, tinv)
-        lhs += l
-        rhs += r
-    p = L.mont_mul(FP, jnp.stack(lhs, 0), jnp.stack(rhs, 0))
-    c0 = fp6.mul_from_rows([p[i] for i in range(18)])
-    c1 = fp6.mul_from_rows([p[i] for i in range(18, 36)])
-    return jnp.stack([c0, c1], axis=-4)
+    sq = _fp6_mul_pairs(
+        jnp.stack([a0, a1], axis=-4), jnp.stack([a0, a1], axis=-4)
+    )
+    t = L.sub(FP, sq[..., 0, :, :, :], _mul_by_v_nd(sq[..., 1, :, :, :]))
+    tinv = _fp6_inv(t)
+    return _fp6_mul_pairs(
+        jnp.stack([a0, L.neg(FP, a1)], axis=-4),
+        jnp.broadcast_to(tinv[..., None, :, :, :], (*tinv.shape[:-3], 2, *tinv.shape[-3:])),
+    )
 
 
 def is_one(a):
@@ -142,23 +237,22 @@ _GAMMA = _gammas()
 
 
 def frob(a):
-    """x -> x^p.  Component-wise Fp2 conjugation then gamma twists
-    (oracle reference: fp12_frob, kateth_tpu/oracle/field.py)."""
-    g = jnp.asarray(_GAMMA)
-    c = jnp.stack([a[..., :, :, 0, :], L.neg(FP, a[..., :, :, 1, :])], axis=-2)
-    # rows: (b0c0, b0c1*g1, b0c2*g3, b1c0*g0, b1c1*g2, b1c2*g4)
-    b0c0 = c[..., 0, 0, :, :]
-    pairs = [
-        (c[..., 0, 1, :, :], g[1]),
-        (c[..., 0, 2, :, :], g[3]),
-        (c[..., 1, 0, :, :], g[0]),
-        (c[..., 1, 1, :, :], g[2]),
-        (c[..., 1, 2, :, :], g[4]),
-    ]
-    prods = fp6._fp2_mul_many([(x, jnp.broadcast_to(y, x.shape)) for x, y in pairs])
-    b0 = jnp.stack([b0c0, prods[0], prods[1]], axis=-3)
-    b1 = jnp.stack([prods[2], prods[3], prods[4]], axis=-3)
-    return jnp.stack([b0, b1], axis=-4)
+    """x -> x^p: coordinate-wise Fp2 conjugation then gamma twists, as one
+    negation + one stacked multiply (oracle reference: fp12_frob)."""
+    # conjugate every fp2 coord: negate the u-components in one chain
+    c = jnp.concatenate(
+        [a[..., :, :, 0:1, :], L.neg(FP, a[..., :, :, 1:2, :])], axis=-2
+    )  # (..., 2, 3, 2, D)
+    flat = c.reshape(*c.shape[:-4], 6, 2, c.shape[-1])  # w-major: b0c0..b0c2, b1c0..b1c2
+    # gamma multipliers: b0 coords 1,2 get g1,g3; b1 coords 0,1,2 get g0,g2,g4
+    onem = np.zeros((2, FP.n_digits), dtype=np.uint32)
+    onem[0] = FP.one_mont
+    gt = jnp.asarray(
+        np.stack([onem, np.asarray(_GAMMA[1]), np.asarray(_GAMMA[3]),
+                  np.asarray(_GAMMA[0]), np.asarray(_GAMMA[2]), np.asarray(_GAMMA[4])])
+    )  # (6, 2, D)
+    out = _fp2_mul_nd(flat, jnp.broadcast_to(gt, flat.shape))
+    return out.reshape(*a.shape)
 
 
 # --- exponentiation ----------------------------------------------------------

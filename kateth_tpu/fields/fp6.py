@@ -144,13 +144,14 @@ def inv(a):
 
 
 def _fp2_mul_many(pairs):
-    lhs, rhs = [], []
-    for a, b in pairs:
-        l, r = _fp2_rows(a, b)
-        lhs += l
-        rhs += r
-    p = L.mont_mul(FP, jnp.stack(lhs, 0), jnp.stack(rhs, 0))
-    return [_fp2_from_rows(p[3 * i], p[3 * i + 1], p[3 * i + 2]) for i in range(len(pairs))]
+    """Stacked Fp2 products: ~7 carry chains total regardless of count."""
+    import jax.numpy as _jnp
+
+    shapes = [_jnp.broadcast_shapes(a.shape, b.shape) for a, b in pairs]
+    A = _jnp.stack([_jnp.broadcast_to(a, s) for (a, _), s in zip(pairs, shapes)], 0)
+    B = _jnp.stack([_jnp.broadcast_to(b, s) for (_, b), s in zip(pairs, shapes)], 0)
+    out = fp2.mul(A, B)
+    return [out[i] for i in range(len(pairs))]
 
 
 def is_zero(a):

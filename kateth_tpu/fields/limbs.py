@@ -222,23 +222,31 @@ def lt_modulus(spec: FieldSpec, a: jax.Array) -> jax.Array:
     return ~_geq(a, spec.mod_digits)
 
 
-import functools
+def _skew_sum(rows: jax.Array, out_cols: int, lead: int, batch) -> jax.Array:
+    """sum_i shift(rows[..., i, :], i + lead) without scatter/gather/chains.
 
-
-@functools.lru_cache(maxsize=None)
-def _conv_index_maps(da: int, db: int, out_cols: int):
-    """Static gather maps for digit convolution columns.
-
-    lo halves of product (i, j) land in column i+j, hi halves in i+j+1.
-    Index maps point at a sentinel zero column (db) when out of range.
+    Pad each row to width out_cols+1 and flatten: element (i, j) sits at
+    flat index (out_cols+1)*i + j + lead.  Re-reading the flat buffer with
+    width out_cols puts it at column (i + j + lead) mod out_cols — the
+    diagonal target (no wraparound: i + j + lead < out_cols by the
+    caller's contract) — with colliding diagonals in distinct rows, so a
+    single row-sum produces the convolution columns.
     """
-    i = np.arange(da)[:, None]
-    c = np.arange(out_cols)[None, :]
-    j_lo = c - i
-    j_hi = c - i - 1
-    idx_lo = np.where((j_lo >= 0) & (j_lo < db), j_lo, db).astype(np.int32)
-    idx_hi = np.where((j_hi >= 0) & (j_hi < db), j_hi, db).astype(np.int32)
-    return idx_lo, idx_hi
+    nrows, db = rows.shape[-2], rows.shape[-1]
+    z = jnp.zeros((*batch, nrows, out_cols + 1 - db), dtype=rows.dtype)
+    flat = jnp.concatenate([rows, z], axis=-1).reshape(*batch, nrows * (out_cols + 1))
+    if lead:
+        flat = jnp.concatenate(
+            [jnp.zeros((*batch, lead), dtype=rows.dtype), flat], axis=-1
+        )
+    total = flat.shape[-1]
+    n_out = -(-total // out_cols)
+    pad = n_out * out_cols - total
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((*batch, pad), dtype=rows.dtype)], axis=-1
+        )
+    return jnp.sum(flat.reshape(*batch, n_out, out_cols), axis=-2)
 
 
 def _conv_digits(a: jax.Array, b: jax.Array, out_cols: int) -> jax.Array:
@@ -246,46 +254,55 @@ def _conv_digits(a: jax.Array, b: jax.Array, out_cols: int) -> jax.Array:
     halves.  Inputs must have digits <= 2^16 (products then fit u32); output
     columns are delayed-carry sums < 2*min(Da,Db)*2^16 <= 2^22.
 
-    Schoolbook rows with STATIC shifts (zero-pad + add): purely dense
-    elementwise vector ops — no gathers, which are slow on both CPU and the
-    TPU VPU.  The row loop is a static Python loop over the (small, fixed)
-    digit count, so XLA sees a flat chain of fused multiply/pad/add.
+    Backend split, and the reasons are hard-won (see also CLAUDE.md):
+
+    * TPU: row-grouped skew-reshape — materialize (.., group, db) product
+      slabs and place diagonals via the pad-flatten-reshape trick, then
+      combine everything with ONE stacked jnp.sum.  This is the only
+      formulation found to be correct on XLA:TPU inside scans: every
+      iterative-accumulation variant (.at[].add chains, +jnp.pad chains,
+      scan with roll or dynamic_slice) silently MISCOMPILES when fused
+      into larger graphs (wrong digits, value-dependent, each op correct
+      in isolation), and gathers inside lax.scan bodies kernel-fault the
+      worker outright.  Row grouping caps the materialization at
+      ~group*(out_cols+1)*4 bytes per lane so MSM-scale lane counts fit
+      in HBM.
+
+    * CPU: one lax.scan over a's digits with a rolled accumulator — the
+      graph is ~15 ops regardless of digit count (XLA:CPU compile time is
+      the binding constraint) and runs 3-6x faster than the alternatives.
     """
     da, db = a.shape[-1], b.shape[-1]
-    # skew-reshape placement requires all products to land inside out_cols
     assert out_cols >= da + db, (da, db, out_cols)
-    prod = a[..., :, None] * b[..., None, :]  # (..., da, db)
-    batch = prod.shape[:-2]
-    out = _skew_sum(prod & DIGIT_MASK, out_cols, 0, batch)
-    out = out + _skew_sum(prod >> DIGIT_BITS, out_cols, 1, batch)
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, (*shape, da))
+    b = jnp.broadcast_to(b, (*shape, db))
+
+    if jax.default_backend() != "cpu":
+        group = 6
+        partials = []
+        for g in range(0, da, group):
+            rows = a[..., g : g + group, None] * b[..., None, :]  # (.., g, db)
+            partials.append(_skew_sum(rows & DIGIT_MASK, out_cols, g, shape))
+            partials.append(_skew_sum(rows >> DIGIT_BITS, out_cols, g + 1, shape))
+        return jnp.sum(jnp.stack(partials, axis=-2), axis=-2)
+
+    zeros_tail = jnp.zeros((*shape, out_cols - db - 1), jnp.uint32)
+    zcol = jnp.zeros((*shape, 1), jnp.uint32)
+
+    def step(carry, ai):
+        acc, i = carry
+        prod = ai[..., None] * b  # (..., db)
+        lo = prod & DIGIT_MASK
+        hi = prod >> DIGIT_BITS
+        v = jnp.concatenate([lo, zcol], -1) + jnp.concatenate([zcol, hi], -1)
+        buf = jnp.concatenate([v, zeros_tail], -1)  # (..., out_cols)
+        return (acc + jnp.roll(buf, i, axis=-1), i + 1), None
+
+    a_scan = jnp.moveaxis(a, -1, 0)  # (da, ...)
+    init = (jnp.zeros((*shape, out_cols), jnp.uint32), jnp.int32(0))
+    (out, _), _ = jax.lax.scan(step, init, a_scan)
     return out
-
-
-def _skew_sum(rows: jax.Array, out_cols: int, lead: int, batch) -> jax.Array:
-    """sum_i shift(rows[i], i + lead) in ~10 dense ops (no scatter/gather).
-
-    Pad each row to width out_cols+1 and flatten: element (i, j) sits at
-    flat index (out_cols+1)*i + j + lead.  Re-reading the flat buffer with
-    width out_cols puts it at column (i + j + lead) mod out_cols — exactly
-    the diagonal target (no wraparound because i+j+lead < out_cols by the
-    caller's contract) — with colliding diagonals landing in distinct rows,
-    so a single row-sum produces the convolution columns.
-    """
-    da, db = rows.shape[-2], rows.shape[-1]
-    z = jnp.zeros((*batch, da, out_cols + 1 - db), dtype=rows.dtype)
-    flat = jnp.concatenate([rows, z], axis=-1).reshape(*batch, da * (out_cols + 1))
-    if lead:
-        flat = jnp.concatenate(
-            [jnp.zeros((*batch, lead), dtype=rows.dtype), flat], axis=-1
-        )
-    total = flat.shape[-1]
-    n_rows = -(-total // out_cols)
-    pad = n_rows * out_cols - total
-    if pad:
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((*batch, pad), dtype=rows.dtype)], axis=-1
-        )
-    return jnp.sum(flat.reshape(*batch, n_rows, out_cols), axis=-2)
 
 
 def soft_carry(t: jax.Array, rounds: int = 2) -> jax.Array:
@@ -348,19 +365,31 @@ def from_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
     return mont_reduce(spec, cols)
 
 
-def mul_small(spec: FieldSpec, a: jax.Array, k: int) -> jax.Array:
-    """a * k for a small plain-int constant k (< 2^7); stays in Montgomery
+def mul_small(spec: FieldSpec, a: jax.Array, k) -> jax.Array:
+    """a * k for small plain-int constant(s) k (< 2^7); stays in Montgomery
     form.  Used for curve-formula constants (e.g. 3b = 12).
+
+    k may be a python int or an integer array broadcastable against a's
+    batch dims (different constants per stacked row — the conditional
+    subtraction loop is value-driven, so mixed constants share it).
 
     Works on a temporarily widened (D+1)-digit vector because k*N can
     exceed 2^(16 D) (Fr has only one spare bit above the modulus).
     """
-    assert 0 < k < 128
+    if isinstance(k, int):
+        assert 0 < k < 128
+        kmax = k
+        karr = jnp.uint32(k)
+    else:
+        karr = np.asarray(k, dtype=np.uint32)
+        kmax = int(karr.max())
+        assert 0 < kmax < 128
+        karr = jnp.asarray(karr)[..., None]  # broadcast over the digit axis
     D = spec.n_digits
     wide = jnp.concatenate([a, jnp.zeros((*a.shape[:-1], 1), dtype=jnp.uint32)], axis=-1)
-    t = carry_pass(wide * jnp.uint32(k))  # k*a < k*N < 2^(16(D+1))
+    t = carry_pass(wide * karr)  # k*a < k*N < 2^(16(D+1))
     # binary reduction: conditionally subtract N*2^j from high j to low
-    for j in range(int(k).bit_length() - 1, -1, -1):
+    for j in range(kmax.bit_length() - 1, -1, -1):
         nj = jnp.asarray(int_to_digits(spec.modulus << j, D + 1), dtype=jnp.uint32)
         diff, borrow = _sub_digits(t, jnp.broadcast_to(nj, t.shape))
         t = jnp.where((borrow == 0)[..., None], diff, t)

@@ -125,10 +125,32 @@ class Kzg:
 
     # -- batched core ------------------------------------------------------
 
+    #: blobs per MSM device program.  1: vmap(B>=2) over the Pippenger
+    #: kernel MISCOMPILES on XLA:TPU (all commitments come out wrong while
+    #: each single-blob program is bit-exact) — and B=1 already runs ~800k
+    #: parallel lanes per phase, so batching adds little anyway
+    commit_chunk = 1
+
     def _commit_elements(self, elements_plain: jax.Array):
-        return protocol.commit_msm(
-            self.setup.g1_points, elements_plain, self.config.msm_window
-        )
+        B = elements_plain.shape[0]
+        if B <= self.commit_chunk:
+            return protocol.commit_msm(
+                self.setup.g1_points, elements_plain, self.config.msm_window
+            )
+        outs = []
+        for i in range(0, B, self.commit_chunk):
+            chunk = elements_plain[i : i + self.commit_chunk]
+            pad = 0
+            if chunk.shape[0] < self.commit_chunk:
+                pad = self.commit_chunk - chunk.shape[0]
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, *chunk.shape[1:]), chunk.dtype)], axis=0
+                )
+            out = protocol.commit_msm(
+                self.setup.g1_points, chunk, self.config.msm_window
+            )
+            outs.append(tuple(c[: self.commit_chunk - pad] for c in out))
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3))
 
     def _evaluate_and_quotient(self, elements_plain: jax.Array, z_vals):
         """(B,N,16) plain elements + python z ints -> (y ints, q plain)."""

@@ -174,7 +174,14 @@ def verify_batch_rlc(proof_pts, cme_pts, zw_plain, w_plain, tau2):
     lhs2 = msm_mod.lincomb_small(F1, cme_pts, w_plain)
     lhs3 = msm_mod.lincomb_small(F1, proof_pts, zw_plain)
     rhs = ops.padd(F1, lhs2, lhs3)
-    return pairing.verify_pairings((lhs1, tau2), (rhs, g2mod.GENERATOR))
+    # keep a singleton batch dim through the pairing: the fully-unbatched
+    # (2,)-shape pairing graph miscompiles on XLA:TPU (wrong boolean),
+    # while the (2, 1)-shaped one is correct
+    lhs1 = tuple(c[None] for c in lhs1)
+    rhs = tuple(c[None] for c in rhs)
+    tau2b = tuple(c[None] for c in tau2)
+    g2gen = tuple(c[None] for c in g2mod.GENERATOR)
+    return pairing.verify_pairings((lhs1, tau2b), (rhs, g2gen))[0]
 
 
 @jax.jit

@@ -77,13 +77,17 @@ def _ntt_stages(x: jax.Array, n: int, inverse: bool) -> jax.Array:
 
 
 def ntt_mont(x_mont: jax.Array, inverse: bool = False, bitrev_input: bool = False,
-             bitrev_output: bool = False) -> jax.Array:
-    """Radix-2 DIT NTT along axis -2 (Montgomery in/out).
+             bitrev_output: bool = False, axis: int = -2) -> jax.Array:
+    """Radix-2 DIT NTT along `axis` (default -2; Montgomery in/out).
 
     DIT consumes bit-reversed input and produces natural-order output; the
     flags let callers skip permutations when their data already lives in
     BRP order (the library's native layout for blobs and setup tables).
     """
+    if axis % x_mont.ndim != x_mont.ndim - 2:
+        x = jnp.moveaxis(x_mont, axis, -2)
+        out = ntt_mont(x, inverse, bitrev_input, bitrev_output, axis=-2)
+        return jnp.moveaxis(out, -2, axis)
     n = x_mont.shape[-2]
     assert n & (n - 1) == 0 and n > 1
     x = x_mont

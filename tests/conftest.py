@@ -14,7 +14,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Pin the CPU ISA: this VM floats across heterogeneous hosts (AMX/AVX512
+# appear and vanish between runs), and persistent-cache AOT executables
+# compiled on a bigger host SIGSEGV when deserialized on a smaller one.
+# AVX2 is the stable common baseline.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
