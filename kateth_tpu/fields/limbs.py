@@ -290,18 +290,22 @@ def _conv_digits(a: jax.Array, b: jax.Array, out_cols: int) -> jax.Array:
     zeros_tail = jnp.zeros((*shape, out_cols - db - 1), jnp.uint32)
     zcol = jnp.zeros((*shape, 1), jnp.uint32)
 
-    def step(carry, ai):
-        acc, i = carry
+    def step(acc, xs):
+        ai, i = xs
         prod = ai[..., None] * b  # (..., db)
         lo = prod & DIGIT_MASK
         hi = prod >> DIGIT_BITS
         v = jnp.concatenate([lo, zcol], -1) + jnp.concatenate([zcol, hi], -1)
         buf = jnp.concatenate([v, zeros_tail], -1)  # (..., out_cols)
-        return (acc + jnp.roll(buf, i, axis=-1), i + 1), None
+        return acc + jnp.roll(buf, i, axis=-1), None
 
     a_scan = jnp.moveaxis(a, -1, 0)  # (da, ...)
-    init = (jnp.zeros((*shape, out_cols), jnp.uint32), jnp.int32(0))
-    (out, _), _ = jax.lax.scan(step, init, a_scan)
+    # derive the init from BOTH operands so it inherits the device-varying
+    # axis tag under shard_map whenever either input is sharded (a plain
+    # zeros literal trips the scan carry-type check in sharded programs)
+    zero_like = (a[..., :1] & jnp.uint32(0)) + (b[..., :1] & jnp.uint32(0))
+    init = jnp.broadcast_to(zero_like, (*shape, out_cols))
+    out, _ = jax.lax.scan(step, init, (a_scan, jnp.arange(da, dtype=jnp.int32)))
     return out
 
 

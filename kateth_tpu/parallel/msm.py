@@ -52,6 +52,8 @@ def sharded_msm(mesh, points, scalars_plain, window: int = 8):
         mesh=mesh,
         in_specs=(pspec, P(AXIS)),
         out_specs=(P(), P(), P()),
+        check_rep=False,  # the all_gather+tree reduction IS replicated,
+        # but the checker cannot infer it through the point-add tree
     )
     def run(pts, scal):
         local = msm_mod.msm(F1, pts, scal, c=window)
