@@ -1,0 +1,97 @@
+"""Batched on-device G1 decompression (Zcash 48-byte format).
+
+Replaces the host-Python decompression path for hot verification code:
+decompressing B commitments + B proofs in one device program removes
+~1 s/batch of host arithmetic and two host->device dispatch round trips
+(measured on v5e via the axon tunnel: 5.3 ms/point in Python, so 128
+points cost ~0.7 s host time plus ~0.2 s re-upload).
+
+Semantics mirror the reference's `P1::decompress` (blst uncompress +
+explicit subgroup check, reference src/bls.rs:508-531 and NOTE at
+512-513) and the oracle `g1_decompress` (kateth_tpu/oracle/curve.py):
+
+* flag bits in byte 0: 0x80 compressed (must be set), 0x40 infinity,
+  0x20 sign (y is the lexicographically larger root);
+* infinity requires sign == 0 and every x bit zero;
+* x must be canonical (< p);
+* y = (x^3 + 4)^((p+1)/4)  (p = 3 mod 4), valid iff y^2 == x^3 + 4;
+* subgroup membership: r * P == identity (scalar-mul by the group order,
+  a 255-step scan shared across the whole batch).
+
+Everything is branch-free masks; the caller raises KzgError from the
+returned validity planes (the spec tests require *errors*, not False,
+for invalid encodings — reference setup.rs:408-414).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limbs as L
+from ..fields.specs import FP, FR
+from . import ops, msm as msm_mod
+
+F1 = ops.FP_FIELD
+
+_SQRT_EXP = (FP.modulus + 1) // 4
+#: digits of (p+1)/2: y is "lexicographically larger" iff y >= (p+1)/2
+_HALF_P1_DIGITS = L.int_to_digits((FP.modulus + 1) // 2, FP.n_digits)
+_FOUR_MONT = FP.from_int(4)  # curve b coefficient, Montgomery form
+
+
+def g1_decompress(comp_bytes: jax.Array):
+    """(B, 48) u8 -> (point (X, Y, Z) each (B, 24) Montgomery,
+    ok_encoding (B,), ok_curve (B,), ok_subgroup (B,)).
+
+    Invalid lanes hold garbage points masked by the validity planes;
+    infinity encodings decode to the projective identity (0 : 1 : 0).
+    """
+    flags = comp_bytes[..., 0].astype(jnp.uint32)
+    c_flag = (flags >> 7) & 1
+    i_flag = (flags >> 6) & 1
+    s_flag = (flags >> 5) & 1
+
+    xb = comp_bytes.at[..., 0].set((flags & 0x1F).astype(jnp.uint8))
+    x_plain = L.be_bytes_to_digits(FP, xb)  # (B, 24)
+    canonical = L.lt_modulus(FP, x_plain)
+    x_is_zero = L.is_zero(x_plain)
+    is_inf = i_flag == 1
+
+    # encoding validity (reference bls errors -> KzgError on host)
+    inf_ok = (s_flag == 0) & x_is_zero
+    ok_encoding = (c_flag == 1) & jnp.where(is_inf, inf_ok, canonical)
+
+    # y = sqrt(x^3 + 4) via the (p+1)/4 exponent chain
+    x = L.to_mont(FP, x_plain)
+    x2 = L.mont_sqr(FP, x)
+    x3 = L.mont_mul(FP, x2, x)
+    four = jnp.broadcast_to(jnp.asarray(_FOUR_MONT, jnp.uint32), x3.shape)
+    t = L.add(FP, x3, four)
+    y = L.pow_const(FP, t, _SQRT_EXP)
+    y2 = L.mont_sqr(FP, y)
+    ok_curve = L.eq(y2, t) | is_inf
+
+    # sign select: the oracle flips y when is_larger(y) != sign flag
+    y_plain = L.from_mont(FP, y)
+    y_is_large = L._geq(y_plain, _HALF_P1_DIGITS)
+    y_sel = jnp.where(
+        (y_is_large != (s_flag == 1))[..., None], L.neg(FP, y), y
+    )
+
+    batch = flags.shape
+    one = F1.one(batch)
+    zero = F1.zero(batch)
+    inf_mask = is_inf[..., None]
+    point = (
+        jnp.where(inf_mask, zero, x),
+        jnp.where(inf_mask, one, y_sel),
+        jnp.where(inf_mask, zero, one),
+    )
+
+    # subgroup: r * P == identity (identity lanes pass trivially)
+    rP = msm_mod.scalar_mul_const(F1, point, FR.modulus)
+    ok_subgroup = ops.is_identity(F1, rP) | is_inf
+
+    return point, ok_encoding, ok_curve, ok_subgroup

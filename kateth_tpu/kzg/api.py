@@ -234,29 +234,61 @@ class Kzg:
         n = len(blobs)
         if n == 0:
             return True
-        comm_pts = [self._decode_g1(c) for c in commitments]
-        proof_pts = [self._decode_g1(p) for p in proofs]
-        elements, ok = self._decode_blobs(blobs)
-        self._check_ok(ok)
+        nbytes = self.config.bytes_per_blob
+        for b in blobs:
+            if len(b) != nbytes:
+                raise KzgError("invalid blob length")
+        for p in list(commitments) + list(proofs):
+            if len(p) != BYTES_PER_COMMITMENT:
+                raise KzgError("invalid point length")
 
         z_vals = self._challenges(blobs, commitments)
-        elements_mont = protocol.fr_to_mont(elements)
-        z_mont = protocol.fr_to_mont(self._fr_planes(z_vals))
-        y_mont = protocol.evaluate(
-            elements_mont, z_mont, self.setup.roots, self.config.n
-        )
-        y_plain_arr = protocol.fr_from_mont(y_mont)
-
         r = _hash_to_fr(
             RC_DOMAIN + self.config.n.to_bytes(16, "big") + n.to_bytes(16, "big")
         )
         weights = [pow(r, i, FR_MOD) for i in range(n)]
         zw = [w * z % FR_MOD for w, z in zip(weights, z_vals)]
 
-        dcomm = tuple(jnp.asarray(a) for a in g1mod.from_oracle(comm_pts))
-        dproof = tuple(jnp.asarray(a) for a in g1mod.from_oracle(proof_pts))
-        cme = protocol.commitments_minus_evals(dcomm, y_plain_arr)
-        out = protocol.verify_batch_rlc(
-            dproof, cme, self._fr_planes(zw), self._fr_planes(weights), self.setup.tau2
+        blob_arr = jnp.asarray(
+            np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint8).reshape(
+                n, nbytes
+            )
         )
-        return bool(out)
+        comm_arr = jnp.asarray(
+            np.frombuffer(b"".join(bytes(c) for c in commitments), dtype=np.uint8).reshape(n, 48)
+        )
+        proof_arr = jnp.asarray(
+            np.frombuffer(b"".join(bytes(p) for p in proofs), dtype=np.uint8).reshape(n, 48)
+        )
+
+        verdict, ok_blob, comm_masks, proof_masks = protocol.verify_blob_batch_fused(
+            blob_arr,
+            comm_arr,
+            proof_arr,
+            self._fr_planes(z_vals),
+            self._fr_planes(zw),
+            self._fr_planes(weights),
+            self.setup.roots,
+            self.setup.tau2,
+        )
+        # one host sync for verdict + all validity masks
+        (verdict, ok_blob), (comm_masks, proof_masks) = jax.device_get(
+            ((verdict, ok_blob), (comm_masks, proof_masks))
+        )
+        self._raise_point_masks(comm_masks)
+        self._raise_point_masks(proof_masks)
+        if not ok_blob.all():
+            raise KzgError("non-canonical field element in blob")
+        return bool(verdict)
+
+    @staticmethod
+    def _raise_point_masks(masks):
+        """(ok_encoding, ok_curve, ok_subgroup) host arrays -> KzgError,
+        mirroring the oracle's BadEncoding/NotOnCurve/NotInGroup split."""
+        ok_enc, ok_curve, ok_sub = masks
+        if not ok_enc.all():
+            raise KzgError("invalid G1 point: BadEncoding")
+        if not ok_curve.all():
+            raise KzgError("invalid G1 point: NotOnCurve")
+        if not ok_sub.all():
+            raise KzgError("invalid G1 point: NotInGroup")

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..fields import limbs as L
 from ..fields.specs import FP, FR
-from ..curves import ops, msm as msm_mod
+from ..curves import ops, msm as msm_mod, decompress
 from ..curves import g1 as g1mod, g2 as g2mod
 from .. import pairing
 from .config import KzgConfig
@@ -162,6 +162,19 @@ def verify_kzg(proof_pt, commitment_pt, z_plain, y_plain, tau2):
     return pairing.verify_pairings((proof_pt, a2), (b1, g2gen))
 
 
+def _lincomb3(proof_pts, cme_pts, w_plain, zw_plain):
+    """The three naive lincombs of the RLC check (reference setup.rs:152-155)
+    fused into ONE 255-step double-and-add scan over 3n lanes:
+    sum w_i proof_i, sum w_i cme_i, sum (w_i z_i) proof_i."""
+    n = w_plain.shape[0]
+    pts = tuple(jnp.concatenate([a, b, a], axis=0) for a, b in zip(proof_pts, cme_pts))
+    sc = jnp.concatenate([w_plain, w_plain, zw_plain], axis=0)
+    prods = ops.scalar_mul(F1, pts, sc)
+    prods = tuple(a.reshape(3, n, *a.shape[1:]) for a in prods)
+    sums = msm_mod.tree_sum(F1, prods, axis=1)  # (3, ...)
+    return tuple(tuple(a[i] for a in sums) for i in range(3))
+
+
 @jax.jit
 def verify_batch_rlc(proof_pts, cme_pts, zw_plain, w_plain, tau2):
     """Batch RLC check (reference setup.rs:115-161):
@@ -170,9 +183,7 @@ def verify_batch_rlc(proof_pts, cme_pts, zw_plain, w_plain, tau2):
     proof_pts / cme_pts: batched points (n, ...); w / z*w: (n, 16) plain.
     cme_pts are the already-combined (C_i - y_i G1) points.
     """
-    lhs1 = msm_mod.lincomb_small(F1, proof_pts, w_plain)
-    lhs2 = msm_mod.lincomb_small(F1, cme_pts, w_plain)
-    lhs3 = msm_mod.lincomb_small(F1, proof_pts, zw_plain)
+    lhs1, lhs2, lhs3 = _lincomb3(proof_pts, cme_pts, w_plain, zw_plain)
     rhs = ops.padd(F1, lhs2, lhs3)
     # keep a singleton batch dim through the pairing: the fully-unbatched
     # (2,)-shape pairing graph miscompiles on XLA:TPU (wrong boolean),
@@ -182,6 +193,39 @@ def verify_batch_rlc(proof_pts, cme_pts, zw_plain, w_plain, tau2):
     tau2b = tuple(c[None] for c in tau2)
     g2gen = tuple(c[None] for c in g2mod.GENERATOR)
     return pairing.verify_pairings((lhs1, tau2b), (rhs, g2gen))[0]
+
+
+@jax.jit
+def verify_blob_batch_fused(
+    blob_bytes, comm_bytes, proof_bytes, z_plain, zw_plain, w_plain, roots, tau2
+):
+    """The ENTIRE batch verification as ONE device program.
+
+    Fuses blob decode/validation, G1 decompression of commitments and
+    proofs (incl. curve + subgroup checks), Montgomery lifts, barycentric
+    evaluation, the C_i - y_i G1 combination, the 3-in-1 RLC lincomb and
+    the final pairing check (reference setup.rs:247-275 + 115-161).
+
+    One dispatch matters: the host<->device round trip costs 150-300 ms
+    over the axon tunnel, so the unfused 6-dispatch pipeline spent more
+    time in transit than in compute.
+
+    Host precomputes (byte joins, SHA-256 Fiat-Shamir challenges z, RLC
+    weights w and z*w) arrive as plain digit planes.  Returns
+    (verdict, ok_blob (B,), comm validity masks, proof validity masks);
+    the caller raises KzgError from the masks.
+    """
+    elements, ok_blob = decode_blobs(blob_bytes)
+    comm_pt, c_enc, c_curve, c_sub = decompress.g1_decompress(comm_bytes)
+    proof_pt, p_enc, p_curve, p_sub = decompress.g1_decompress(proof_bytes)
+    elements_mont = L.to_mont(FR, elements)
+    z_mont = L.to_mont(FR, z_plain)
+    n = roots.shape[0]
+    y_mont = evaluate(elements_mont, z_mont, roots, n)
+    y_plain = L.from_mont(FR, y_mont)
+    cme = commitments_minus_evals(comm_pt, y_plain)
+    verdict = verify_batch_rlc(proof_pt, cme, zw_plain, w_plain, tau2)
+    return verdict, ok_blob, (c_enc, c_curve, c_sub), (p_enc, p_curve, p_sub)
 
 
 @jax.jit
