@@ -41,9 +41,14 @@ _HALF_P1_DIGITS = L.int_to_digits((FP.modulus + 1) // 2, FP.n_digits)
 _FOUR_MONT = FP.from_int(4)  # curve b coefficient, Montgomery form
 
 
-def g1_decompress(comp_bytes: jax.Array):
-    """(B, 48) u8 -> (point (X, Y, Z) each (B, 24) Montgomery,
-    ok_encoding (B,), ok_curve (B,), ok_subgroup (B,)).
+def g1_decompress_nosub(comp_bytes: jax.Array):
+    """(B, 48) u8 -> (point, ok_encoding (B,), ok_curve (B,)) WITHOUT the
+    subgroup check.
+
+    Callers on the hot path fold the subgroup scalar-mul into an existing
+    255-step ladder scan (see protocol.verify_batch_rlc_sub) instead of
+    paying a separate scan here; `g1_decompress` below is the standalone
+    all-checks variant.
 
     Invalid lanes hold garbage points masked by the validity planes;
     infinity encodings decode to the projective identity (0 : 1 : 0).
@@ -89,9 +94,17 @@ def g1_decompress(comp_bytes: jax.Array):
         jnp.where(inf_mask, one, y_sel),
         jnp.where(inf_mask, zero, one),
     )
+    return point, ok_encoding, ok_curve
 
-    # subgroup: r * P == identity (identity lanes pass trivially)
+
+def subgroup_check(point):
+    """r * P == identity (identity lanes pass trivially)."""
     rP = msm_mod.scalar_mul_const(F1, point, FR.modulus)
-    ok_subgroup = ops.is_identity(F1, rP) | is_inf
+    return ops.is_identity(F1, rP)
 
-    return point, ok_encoding, ok_curve, ok_subgroup
+
+def g1_decompress(comp_bytes: jax.Array):
+    """(B, 48) u8 -> (point (X, Y, Z) each (B, 24) Montgomery,
+    ok_encoding (B,), ok_curve (B,), ok_subgroup (B,))."""
+    point, ok_encoding, ok_curve = g1_decompress_nosub(comp_bytes)
+    return point, ok_encoding, ok_curve, subgroup_check(point)

@@ -27,12 +27,17 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from functools import partial
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 DIGIT_BITS = 16
 DIGIT_MASK = (1 << DIGIT_BITS) - 1
+
+#: kill switch for the Pallas fast path (debugging / A-B measurement)
+_NO_PALLAS = os.environ.get("KATETH_NO_PALLAS", "") == "1"
 
 
 def int_to_digits(v: int, n_digits: int) -> np.ndarray:
@@ -279,7 +284,17 @@ def _conv_digits(a: jax.Array, b: jax.Array, out_cols: int) -> jax.Array:
     b = jnp.broadcast_to(b, (*shape, db))
 
     if jax.default_backend() != "cpu":
-        group = 6
+        # Row-group size trades HLO count against materialized bytes:
+        # each group materializes lanes*group*(out_cols+1)*4 bytes, and
+        # each emits a fixed handful of ops.  The deep scan bodies
+        # (scalar ladders, pairing, sqrt chains) run on tiny tensors and
+        # are op-LAUNCH bound — full-width grouping quarters their op
+        # count — while MSM-scale lane counts must stay capped at 6 to
+        # fit HBM.  Shapes are static, so this is a trace-time decision.
+        lanes = 1
+        for s in shape:
+            lanes *= int(s)
+        group = da if lanes * da * (out_cols + 1) * 4 <= (256 << 20) else 6
         partials = []
         for g in range(0, da, group):
             rows = a[..., g : g + group, None] * b[..., None, :]  # (.., g, db)
@@ -345,7 +360,23 @@ def mont_reduce(spec: FieldSpec, t_soft: jax.Array) -> jax.Array:
 
 
 def mont_mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
-    """Montgomery product abR^-1 mod N; replaces blst_fr_mul / blst_fp_mul."""
+    """Montgomery product abR^-1 mod N; replaces blst_fr_mul / blst_fp_mul.
+
+    Large batches on TPU take the Pallas kernel (whole REDC pipeline in
+    VMEM — the XLA conv path materializes HBM slabs and runs ~100x off
+    the bandwidth roofline at evaluate/MSM scale); small batches and CPU
+    keep the XLA digit-plane path (kernel launch + relayout overhead
+    dominates tiny tensors, and scan-body fusion matters more there).
+    """
+    if jax.default_backend() != "cpu" and not _NO_PALLAS:
+        from . import pallas_mont  # lazy: keeps CPU-only paths pallas-free
+
+        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        lanes = 1
+        for s in shape:
+            lanes *= int(s)
+        if lanes >= pallas_mont.MIN_LANES:
+            return pallas_mont.mont_mul(spec, a, b)
     cols = _conv_digits(a, b, 2 * spec.n_digits)
     return mont_reduce(spec, soft_carry(cols))
 

@@ -162,17 +162,36 @@ def verify_kzg(proof_pt, commitment_pt, z_plain, y_plain, tau2):
     return pairing.verify_pairings((proof_pt, a2), (b1, g2gen))
 
 
-def _lincomb3(proof_pts, cme_pts, w_plain, zw_plain):
+_R_DIGITS = L.int_to_digits(FR.modulus, FR.n_digits)
+
+
+def _lincomb3(proof_pts, cme_pts, w_plain, zw_plain, sub_pts=None):
     """The three naive lincombs of the RLC check (reference setup.rs:152-155)
     fused into ONE 255-step double-and-add scan over 3n lanes:
-    sum w_i proof_i, sum w_i cme_i, sum (w_i z_i) proof_i."""
+    sum w_i proof_i, sum w_i cme_i, sum (w_i z_i) proof_i.
+
+    If `sub_pts` (a batched point, m lanes) is given, m subgroup-check
+    lanes with the static group order r as scalar ride the same scan, and
+    an (m,) `r*P == identity` mask is returned as the 4th element —
+    folding the decompression subgroup checks into this ladder instead of
+    running their own 255-step scans.
+    """
     n = w_plain.shape[0]
     pts = tuple(jnp.concatenate([a, b, a], axis=0) for a, b in zip(proof_pts, cme_pts))
     sc = jnp.concatenate([w_plain, w_plain, zw_plain], axis=0)
+    if sub_pts is not None:
+        m = sub_pts[0].shape[0]
+        pts = tuple(jnp.concatenate([a, s], axis=0) for a, s in zip(pts, sub_pts))
+        r_rows = jnp.broadcast_to(jnp.asarray(_R_DIGITS, jnp.uint32), (m, FR.n_digits))
+        sc = jnp.concatenate([sc, r_rows], axis=0)
     prods = ops.scalar_mul(F1, pts, sc)
-    prods = tuple(a.reshape(3, n, *a.shape[1:]) for a in prods)
-    sums = msm_mod.tree_sum(F1, prods, axis=1)  # (3, ...)
-    return tuple(tuple(a[i] for a in sums) for i in range(3))
+    lin = tuple(a[: 3 * n].reshape(3, n, *a.shape[1:]) for a in prods)
+    sums = msm_mod.tree_sum(F1, lin, axis=1)  # (3, ...)
+    out = [tuple(a[i] for a in sums) for i in range(3)]
+    if sub_pts is not None:
+        rP = tuple(a[3 * n :] for a in prods)
+        out.append(ops.is_identity(F1, rP))
+    return tuple(out)
 
 
 @jax.jit
@@ -215,17 +234,33 @@ def verify_blob_batch_fused(
     (verdict, ok_blob (B,), comm validity masks, proof validity masks);
     the caller raises KzgError from the masks.
     """
+    B = blob_bytes.shape[0]
     elements, ok_blob = decode_blobs(blob_bytes)
-    comm_pt, c_enc, c_curve, c_sub = decompress.g1_decompress(comm_bytes)
-    proof_pt, p_enc, p_curve, p_sub = decompress.g1_decompress(proof_bytes)
+    # ONE decompression pass (sqrt chain + flag checks) over comm ++ proof
+    both = jnp.concatenate([comm_bytes, proof_bytes], axis=0)
+    pts, enc_ok, curve_ok = decompress.g1_decompress_nosub(both)
+    comm_pt = tuple(a[:B] for a in pts)
+    proof_pt = tuple(a[B:] for a in pts)
     elements_mont = L.to_mont(FR, elements)
     z_mont = L.to_mont(FR, z_plain)
     n = roots.shape[0]
     y_mont = evaluate(elements_mont, z_mont, roots, n)
     y_plain = L.from_mont(FR, y_mont)
     cme = commitments_minus_evals(comm_pt, y_plain)
-    verdict = verify_batch_rlc(proof_pt, cme, zw_plain, w_plain, tau2)
-    return verdict, ok_blob, (c_enc, c_curve, c_sub), (p_enc, p_curve, p_sub)
+    # subgroup checks of both point sets ride the RLC ladder scan
+    lhs1, lhs2, lhs3, sub_ok = _lincomb3(proof_pt, cme, w_plain, zw_plain, sub_pts=pts)
+    rhs = ops.padd(F1, lhs2, lhs3)
+    lhs1 = tuple(c[None] for c in lhs1)
+    rhs = tuple(c[None] for c in rhs)
+    tau2b = tuple(c[None] for c in tau2)
+    g2gen = tuple(c[None] for c in g2mod.GENERATOR)
+    verdict = pairing.verify_pairings((lhs1, tau2b), (rhs, g2gen))[0]
+    return (
+        verdict,
+        ok_blob,
+        (enc_ok[:B], curve_ok[:B], sub_ok[:B]),
+        (enc_ok[B:], curve_ok[B:], sub_ok[B:]),
+    )
 
 
 @jax.jit
