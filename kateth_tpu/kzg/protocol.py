@@ -184,7 +184,7 @@ def _lincomb3(proof_pts, cme_pts, w_plain, zw_plain, sub_pts=None):
         pts = tuple(jnp.concatenate([a, s], axis=0) for a, s in zip(pts, sub_pts))
         r_rows = jnp.broadcast_to(jnp.asarray(_R_DIGITS, jnp.uint32), (m, FR.n_digits))
         sc = jnp.concatenate([sc, r_rows], axis=0)
-    prods = ops.scalar_mul(F1, pts, sc)
+    prods = _ladder(pts, sc)
     lin = tuple(a[: 3 * n].reshape(3, n, *a.shape[1:]) for a in prods)
     sums = msm_mod.tree_sum(F1, lin, axis=1)  # (3, ...)
     out = [tuple(a[i] for a in sums) for i in range(3)]
@@ -192,6 +192,17 @@ def _lincomb3(proof_pts, cme_pts, w_plain, zw_plain, sub_pts=None):
         rP = tuple(a[3 * n :] for a in prods)
         out.append(ops.is_identity(F1, rP))
     return tuple(out)
+
+
+def _ladder(pts, sc):
+    """Per-lane G1 scalar multiply: the Pallas whole-chain kernel on TPU
+    (one launch for the full 256-step ladder), the XLA scan elsewhere."""
+    if jax.default_backend() != "cpu" and not L._NO_PALLAS:
+        from ..fields import pallas_mont as PM
+        from ..fields.specs import FP
+
+        return PM.g1_scalar_mul(FP, FP.one_mont, pts, sc)
+    return ops.scalar_mul(F1, pts, sc)
 
 
 @jax.jit
@@ -245,11 +256,43 @@ def verify_blob_batch_fused(
     z_mont = L.to_mont(FR, z_plain)
     n = roots.shape[0]
     y_mont = evaluate(elements_mont, z_mont, roots, n)
-    y_plain = L.from_mont(FR, y_mont)
-    cme = commitments_minus_evals(comm_pt, y_plain)
-    # subgroup checks of both point sets ride the RLC ladder scan
-    lhs1, lhs2, lhs3, sub_ok = _lincomb3(proof_pt, cme, w_plain, zw_plain, sub_pts=pts)
-    rhs = ops.padd(F1, lhs2, lhs3)
+    # sum w_i (C_i - y_i G) = sum w_i C_i - (sum w_i y_i) G: the y_i G
+    # ladder collapses into ONE extra lane with the Fr dot product
+    # sum w_i y_i as its scalar (reference setup.rs:140-155 computes the
+    # C_i - y_i G points explicitly; the algebra is equivalent)
+    w_mont = L.to_mont(FR, w_plain)
+    wy = L.mont_mul(FR, w_mont, y_mont)  # (B, 16)
+    pot = 1 if B <= 1 else 1 << (B - 1).bit_length()
+    if pot != B:
+        wy = jnp.concatenate(
+            [wy, jnp.zeros((pot - B, wy.shape[-1]), wy.dtype)], axis=0
+        )
+    s_plain = L.from_mont(FR, L.sum_mod(FR, wy, axis=-2))  # (16,)
+    neg_g1 = tuple(c[None] for c in ops.pneg(F1, g1mod.GENERATOR))
+    # ONE ladder: [proof*w | comm*w | proof*zw | (-G)*sum(wy) | subgroup r*P]
+    lanes = tuple(
+        jnp.concatenate([p, c, p, g, c, p], axis=0)
+        for p, c, g in zip(proof_pt, comm_pt, neg_g1)
+    )
+    sc = jnp.concatenate(
+        [
+            w_plain,
+            w_plain,
+            zw_plain,
+            s_plain[None],
+            jnp.broadcast_to(jnp.asarray(_R_DIGITS, jnp.uint32), (2 * B, FR.n_digits)),
+        ],
+        axis=0,
+    )
+    prods = _ladder(lanes, sc)
+    lin = tuple(a[: 3 * B].reshape(3, B, *a.shape[1:]) for a in prods)
+    sums = msm_mod.tree_sum(F1, lin, axis=1)
+    lhs1 = tuple(a[0] for a in sums)
+    sG = tuple(a[3 * B] for a in prods)
+    lhs2 = ops.padd(F1, tuple(a[1] for a in sums), sG)
+    sub_ok = ops.is_identity(F1, tuple(a[3 * B + 1 :] for a in prods))
+    # subgroup lanes are ordered [comm | proof]
+    rhs = ops.padd(F1, lhs2, tuple(a[2] for a in sums))
     lhs1 = tuple(c[None] for c in lhs1)
     rhs = tuple(c[None] for c in rhs)
     tau2b = tuple(c[None] for c in tau2)
