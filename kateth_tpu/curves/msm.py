@@ -156,22 +156,37 @@ def window_digits(scalar_digits: jax.Array, c: int, n_bits: int = 255) -> jax.Ar
 
 
 def msm(F: CurveField, points, scalar_digits: jax.Array, c: int = 8):
-    """sum_i scalars[i] * points[i].
+    """sum_i scalars[i] * points[i], batched over leading scalar dims.
 
-    points: projective tuple, each component (N, *field_dims).
-    scalar_digits: PLAIN (non-Montgomery) Fr digits (N, 16).
-    Returns a single projective point.
+    points: projective tuple, each component (N, *field_dims) — SHARED
+    across the batch (the trusted-setup table).
+    scalar_digits: PLAIN (non-Montgomery) Fr digits (*batch, N, 16).
+    Returns a projective point with shape (*batch, *field_dims) per
+    coordinate.
+
+    The batch rides through the sort/gather/prefix machinery as extra
+    leading axes (NOT vmap: vmap over the MSM miscompiles on XLA:TPU, and
+    explicit axes let one program amortize dispatch overhead across the
+    whole blob batch).  Memory scales with batch * W * N point lanes —
+    callers chunk the batch (see kzg.api.commit_chunk).
     """
     N = jnp.shape(points[0])[0]
     B = 1 << c
-    digits = window_digits(scalar_digits, c)  # (W, N)
+    fdim = _fdim(F)
+    batch = scalar_digits.shape[:-2]
+    digits = window_digits(scalar_digits, c)  # (W, *batch, N)
     W = digits.shape[0]
+    n_ax = 1 + len(batch)  # position of the N axis in (W, *batch, N, ...)
 
     # pad N to a power of two with zero digits + identity points
     pot = 1 if N <= 1 else 1 << (N - 1).bit_length()
     if pot != N:
         digits = jnp.concatenate(
-            [digits, jnp.zeros((W, pot - N), dtype=digits.dtype)], axis=1
+            [
+                digits,
+                jnp.zeros((*digits.shape[:-1], pot - N), dtype=digits.dtype),
+            ],
+            axis=-1,
         )
         ident = ops.identity(F, (pot - N,))
         points = tuple(
@@ -181,31 +196,36 @@ def msm(F: CurveField, points, scalar_digits: jax.Array, c: int = 8):
         N = pot
 
     # 2. sort by digit within each window, gather points into bucket order
-    order = jnp.argsort(digits, axis=-1)  # (W, N)
+    order = jnp.argsort(digits, axis=-1)  # (W, *batch, N)
     sorted_digits = jnp.take_along_axis(digits, order, axis=-1)
-    gathered = tuple(jnp.take(comp, order, axis=0) for comp in points)  # (W, N, ...)
+    gathered = tuple(jnp.take(comp, order, axis=0) for comp in points)
+    # gathered: (W, *batch, N, *field_dims)
 
     # 3. inclusive prefix scan of point adds along the sorted axis
-    prefix = prefix_scan(F, gathered, axis=1)
-    total = tuple(jax.lax.index_in_dim(a, N - 1, axis=1, keepdims=False) for a in prefix)
+    prefix = prefix_scan(F, gathered, axis=n_ax)
+    total = tuple(
+        jax.lax.index_in_dim(a, N - 1, axis=n_ax, keepdims=False) for a in prefix
+    )
 
     # 4. bucket-boundary gather: c_j = #digits < j for j = 1..B-1
     onehot = (sorted_digits[..., None] == jnp.arange(B, dtype=jnp.uint32)).astype(
         jnp.int32
-    )  # (W, N, B)
-    counts = jnp.sum(onehot, axis=1)  # (W, B)
-    cum = jnp.cumsum(counts, axis=-1)  # cum[:, d] = #digits <= d
-    c_j = cum[:, : B - 1]  # #digits < j   (j = 1..B-1)
-    idx = jnp.maximum(c_j - 1, 0)  # (W, B-1)
+    )  # (W, *batch, N, B)
+    counts = jnp.sum(onehot, axis=-2)  # (W, *batch, B)
+    cum = jnp.cumsum(counts, axis=-1)  # cum[..., d] = #digits <= d
+    c_j = cum[..., : B - 1]  # #digits < j   (j = 1..B-1)
+    idx = jnp.maximum(c_j - 1, 0)  # (W, *batch, B-1)
     boundary = tuple(
-        jnp.take_along_axis(a, idx.reshape(W, B - 1, *([1] * (a.ndim - 2))), axis=1)
+        jnp.take_along_axis(
+            a, idx.reshape(*idx.shape, *([1] * fdim)), axis=n_ax
+        )
         for a in prefix
-    )  # (W, B-1, ...)
+    )  # (W, *batch, B-1, ...)
     empty = c_j == 0  # no digit < j: boundary_j := identity
-    boundary = ops.pselect(F, empty, ops.identity(F, (W, B - 1)), boundary)
+    boundary = ops.pselect(F, empty, ops.identity(F, (W, *batch, B - 1)), boundary)
 
     # window_sum = (B-1) * total - sum_j boundary_j
-    gsum = tree_sum(F, boundary, axis=1)  # (W, ...)
+    gsum = tree_sum(F, boundary, axis=n_ax)  # (W, *batch, ...)
     win = ops.padd(F, scalar_mul_const(F, total, B - 1), ops.pneg(F, gsum))
 
     # 5. Horner over windows: acc = ((win[W-1] * 2^c) + win[W-2]) * 2^c + ...

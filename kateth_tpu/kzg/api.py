@@ -125,11 +125,12 @@ class Kzg:
 
     # -- batched core ------------------------------------------------------
 
-    #: blobs per MSM device program.  1: vmap(B>=2) over the Pippenger
-    #: kernel MISCOMPILES on XLA:TPU (all commitments come out wrong while
-    #: each single-blob program is bit-exact) — and B=1 already runs ~800k
-    #: parallel lanes per phase, so batching adds little anyway
-    commit_chunk = 1
+    #: blobs per MSM device program.  The batch axis is native to the MSM
+    #: (vmap over it MISCOMPILES on XLA:TPU — all commitments come out
+    #: wrong while each single-blob program is bit-exact; explicit batch
+    #: axes are both correct and amortize dispatch overhead).  8 bounds
+    #: the (chunk, W, N) point-lane memory at ~3 GB peak.
+    commit_chunk = 8
 
     def _commit_elements(self, elements_plain: jax.Array):
         B = elements_plain.shape[0]

@@ -138,8 +138,9 @@ def quotient(elements_mont, z_mont, y_mont, setup_roots, setup_inv_roots):
 def commit_msm(g1_points, scalars_plain, window: int = 8):
     """Batched Pippenger commitment: (B, N, 16) plain scalars against the
     (N,)-point table -> batched projective G1 points (each coord (B, 24)).
-    (reference blob.rs:48-53 / poly.rs:68 -> bls.rs:415-437)."""
-    return jax.vmap(lambda s: msm_mod.msm(F1, g1_points, s, c=window))(scalars_plain)
+    The batch axis is native to the MSM (one program, no vmap — see
+    msm.msm).  (reference blob.rs:48-53 / poly.rs:68 -> bls.rs:415-437)."""
+    return msm_mod.msm(F1, g1_points, scalars_plain, c=window)
 
 
 # ---------------------------------------------------------------------------

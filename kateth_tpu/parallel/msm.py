@@ -77,6 +77,6 @@ def sharded_commit(mesh, points, scalars_batch, window: int = 8):
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     )
     def run(pts, scal):
-        return jax.vmap(lambda s: msm_mod.msm(F1, pts, s, c=window))(scal)
+        return msm_mod.msm(F1, pts, scal, c=window)
 
     return run(points, scalars_batch)
