@@ -255,6 +255,86 @@ def frob(a):
     return out.reshape(*a.shape)
 
 
+# --- cyclotomic subgroup ops -------------------------------------------------
+
+def _fp2_sqr_nd(a: jax.Array) -> jax.Array:
+    """Batched fp2 squares over a stacked coord axis (..., k, 2, D):
+    c0 = (x0+x1)(x0-x1), c1 = 2 x0 x1 — 2 products per square."""
+    x0, x1 = a[..., 0, :], a[..., 1, :]
+    lhs = jnp.stack([L.add(FP, x0, x1), x0], axis=-2)  # (..., k, 2, D)
+    rhs = jnp.stack([L.sub(FP, x0, x1), x1], axis=-2)
+    p = L.mont_mul(FP, lhs, rhs)
+    c0 = p[..., 0, :]
+    c1 = p[..., 1, :]
+    return jnp.stack([c0, L.add(FP, c1, c1)], axis=-2)
+
+
+def cyc_sqr(a):
+    """Granger-Scott squaring for elements of the cyclotomic subgroup
+    (valid after the easy part of the final exponentiation): 9 Fp2
+    squares = 18 Fp products in ONE stacked Montgomery multiply, vs 36
+    for the generic `sqr`.  Formula validated against the oracle's
+    direct squaring (eprint 2009/565 §3.2)."""
+    a0 = a[..., 0, 0, :, :]
+    a1 = a[..., 0, 1, :, :]
+    a2 = a[..., 0, 2, :, :]
+    b0 = a[..., 1, 0, :, :]
+    b1 = a[..., 1, 1, :, :]
+    b2 = a[..., 1, 2, :, :]
+    # 9 fp2 squares: t0..t5 = [b1,a0,a2,b0,b2,a1]^2, s = [(b1+a0),(a2+b0),(b2+a1)]^2
+    lo = jnp.stack([b1, a2, b2], axis=-3)
+    hi = jnp.stack([a0, b0, a1], axis=-3)
+    sums = L.add(FP, lo, hi)
+    q = _fp2_sqr_nd(jnp.concatenate([lo, hi, sums], axis=-3))  # (..., 9, 2, D)
+    tl = q[..., 0:3, :, :]  # b1^2, a2^2, b2^2
+    th = q[..., 3:6, :, :]  # a0^2, b0^2, a1^2
+    cross = L.sub(FP, q[..., 6:9, :, :], L.add(FP, tl, th))  # 2a0b1, 2a2b0, 2a1b2
+    u = L.add(FP, _mul_by_xi_nd(tl), th)  # xi b1^2 + a0^2, xi a2^2 + b0^2, xi b2^2 + a1^2
+    # c0' coords: 2(u_i - c0_i) + u_i
+    c0 = jnp.stack([a0, a1, a2], axis=-3)
+    d0 = L.sub(FP, u, c0)
+    c0n = L.add(FP, L.add(FP, d0, d0), u)
+    # c1' coords: 2(t_i + c1_i) + t_i with t = [xi*2a1b2, 2a0b1, 2a2b0]
+    t = jnp.concatenate(
+        [_mul_by_xi_nd(cross[..., 2:3, :, :]), cross[..., 0:2, :, :]], axis=-3
+    )
+    c1 = jnp.stack([b0, b1, b2], axis=-3)
+    d1 = L.add(FP, t, c1)
+    c1n = L.add(FP, L.add(FP, d1, d1), t)
+    return jnp.stack([c0n, c1n], axis=-4)
+
+
+def _cyc_sqr_scan(x, k: int):
+    """k Granger-Scott squarings; a lax.scan for long runs keeps the XLA
+    graph one-body-sized."""
+    if k <= 0:
+        return x
+    if k <= 2:
+        for _ in range(k):
+            x = cyc_sqr(x)
+        return x
+    out, _ = jax.lax.scan(lambda c, _: (cyc_sqr(c), None), x, None, length=k)
+    return out
+
+
+def pow_abs_cyc(a, e: int):
+    """a^e for a STATIC e >= 1, a in the cyclotomic subgroup.
+
+    Exploits the static bit pattern: runs of zero bits are pure
+    Granger-Scott squaring scans; only the HW(e)-1 set bits pay a dense
+    multiply (vs sqr+mul+select every step in `pow_const`)."""
+    assert e >= 1
+    bits = bin(e)[2:]
+    acc = a
+    rest = bits[1:]
+    pos = 0
+    for o in (i for i, b in enumerate(rest) if b == "1"):
+        acc = _cyc_sqr_scan(acc, o - pos + 1)
+        acc = mul(acc, a)
+        pos = o + 1
+    return _cyc_sqr_scan(acc, len(rest) - pos)
+
+
 # --- exponentiation ----------------------------------------------------------
 
 def pow_const(a, e: int, cyclotomic: bool = False):

@@ -442,6 +442,16 @@ def pow_const(spec: FieldSpec, a: jax.Array, e: int) -> jax.Array:
     if e == 0:
         one = jnp.asarray(spec.one_mont, dtype=jnp.uint32)
         return jnp.broadcast_to(one, a.shape)
+    if e >= 3 and (
+        (jax.default_backend() != "cpu" and not _NO_PALLAS)
+        or os.environ.get("KATETH_PALLAS_INTERPRET") == "1"
+    ):
+        # whole-chain kernel: one launch for the full square-and-multiply
+        # ladder (the 381-step sqrt/Fermat chains are pure op-launch
+        # latency as XLA scans)
+        from . import pallas_mont
+
+        return pallas_mont.pow_const(spec, a, e)
     bits = np.array([int(c) for c in bin(e)[2:]], dtype=np.bool_)
 
     def step(acc, bit):

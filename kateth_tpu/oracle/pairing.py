@@ -151,12 +151,23 @@ def miller_loop(p_g1, q_g2):
 
 
 def final_exponentiation(f):
-    """f^((p^12-1)/r): easy part via Frobenius, hard part by direct pow."""
+    """f^((p^12-1)*3/r): easy part via Frobenius, hard part by direct pow.
+
+    The hard part uses the scaled exponent 3*(p^4-p^2+1)/r — the classic
+    BLS12 identity 3*(p^4-p^2+1)/r == (x-1)^2*(x+p)*(x^2+p^2-1) + 3 lets
+    the device compute it with a short cyclotomic addition chain (five
+    ~64-bit x-power chains instead of one 1268-bit chain).  The oracle
+    keeps DIRECT integer exponentiation of the same exponent, so the
+    bit-exact device-vs-oracle comparison cross-checks the chain against
+    an independent derivation.  The factor 3 does not change the
+    verification boolean: the reduced value lies in the order-r subgroup
+    and gcd(3, r) = 1, so f^(3e) == 1  <=>  f^e == 1.
+    """
     # easy part: f^((p^6-1)(p^2+1))
     f = fp12_mul(fp12_conj(f), fp12_inv(f))
     f = fp12_mul(fp12_frob(fp12_frob(f)), f)
-    # hard part: exponent (p^4 - p^2 + 1)/r
-    d = (P**4 - P**2 + 1) // R
+    # hard part (scaled): exponent 3*(p^4 - p^2 + 1)/r
+    d = 3 * ((P**4 - P**2 + 1) // R)
     return fp12_pow(f, d)
 
 

@@ -30,11 +30,9 @@ Design (branch-free, scan-structured, sized for the XLA compiler):
   one squaring + one dense multiply per step, uniform shape, traced once.
 
 * Final exponentiation: easy part  f^((p^6-1)(p^2+1))  via conj/inv/frob,
-  then the hard part as ONE direct square-and-multiply lax.scan over the
-  static 1270-bit exponent (p^4-p^2+1)/r — matching the oracle's
-  final_exponentiation bit-for-bit.  (A cyclotomic addition-chain version
-  is a later TPU-runtime optimization; the direct scan keeps the XLA
-  graph small, which dominates compile time.)
+  then the hard part via the cyclotomic addition chain for the scaled
+  exponent 3(p^4-p^2+1)/r (see final_exponentiation) — matching the
+  oracle's direct-pow final_exponentiation bit-for-bit.
 
 Both miller_loop inputs may be batched; infinity G1/G2 inputs yield f = 1
 exactly like blst.
@@ -50,11 +48,20 @@ from .fields import limbs as L
 from .fields import fp2, fp6, fp12
 from .fields.specs import FP
 from .curves import ops
-from .oracle.field import BLS_X, P as FP_MOD, R as FR_MOD
+from .oracle.field import BLS_X
 
 F2 = ops.FP2_FIELD
 X_ABS = -BLS_X  # 0xd201000000010000
-HARD_EXP = (FP_MOD**4 - FP_MOD**2 + 1) // FR_MOD  # 1270-bit static exponent
+
+
+def _use_pallas() -> bool:
+    """Whole-chain Pallas kernels on TPU (or CPU interpret mode for
+    tests); the XLA scan path is the portable fallback."""
+    import os
+
+    if os.environ.get("KATETH_PALLAS_INTERPRET") == "1":
+        return True
+    return jax.default_backend() != "cpu" and not L._NO_PALLAS
 
 
 def _fp2_mul_many(pairs):
@@ -144,6 +151,13 @@ def miller_loop(p_g1, q_g2):
     )
     xp, yp = ops.to_affine(ops.FP_FIELD, p_safe)
     xq, yq = ops.to_affine(F2, q_safe)
+
+    if _use_pallas():
+        from . import pallas_pairing
+
+        f = pallas_pairing.miller_loop_affine(xp, yp, xq, yq)
+        return fp12.select(p_inf | q_inf, jnp.broadcast_to(fp12.one(), f.shape), f)
+
     q_aff = (xq, yq)
     q_proj = (xq, yq, F2.one(jnp.shape(xq)[:-2]))
 
@@ -182,14 +196,40 @@ def miller_loop(p_g1, q_g2):
     return fp12.select(p_inf | q_inf, jnp.broadcast_to(fp12.one(), f.shape), f)
 
 
+def _pow_x(f):
+    """f^x for the (negative) BLS parameter on the cyclotomic subgroup:
+    conj(f^|x|), |x| = 0xd201000000010000 (64 bits, Hamming weight 6)."""
+    return fp12.conj(fp12.pow_abs_cyc(f, X_ABS))
+
+
 def final_exponentiation(f):
-    """f^((p^12-1)/r): easy part via Frobenius, hard part by one direct
-    square-and-multiply scan over the static exponent (p^4-p^2+1)/r —
-    bit-exact with the oracle's final_exponentiation."""
-    # easy part: f^((p^6-1)(p^2+1))
+    """f^(3 (p^12-1)/r): easy part via Frobenius, hard part by the
+    cyclotomic addition chain for the scaled exponent
+
+        3 (p^4-p^2+1)/r  ==  (x-1)^2 (x+p) (x^2+p^2-1) + 3
+
+    — five ~64-bit x-power chains of Granger-Scott squarings instead of
+    the direct 1268-bit square-and-multiply scan (≈4x fewer squarings at
+    half the cost each, ≈25x fewer dense multiplies).  Bit-exact with the
+    oracle's final_exponentiation, which computes the SAME scaled
+    exponent by direct integer pow — an independent derivation that
+    cross-checks the chain.  The factor 3 is boolean-invisible:
+    the reduced value has order dividing r and gcd(3, r) = 1."""
+    # easy part: f^((p^6-1)(p^2+1)) — lands in the cyclotomic subgroup
     f = fp12.mul(fp12.conj(f), fp12.inv(f))
     f = fp12.mul(fp12.frob(fp12.frob(f)), f)
-    return fp12.pow_const(f, HARD_EXP, cyclotomic=True)
+    if _use_pallas():
+        from . import pallas_pairing
+
+        return pallas_pairing.hard_part(f)
+    # hard part chain (conj == inverse on the cyclotomic subgroup)
+    t0 = fp12.mul(_pow_x(f), fp12.conj(f))                 # f^(x-1)
+    t1 = fp12.mul(_pow_x(t0), fp12.conj(t0))               # f^((x-1)^2)
+    t2 = fp12.mul(_pow_x(t1), fp12.frob(t1))               # ^(x+p)
+    t3 = fp12.mul(                                          # ^(x^2+p^2-1)
+        fp12.mul(_pow_x(_pow_x(t2)), fp12.frob(fp12.frob(t2))), fp12.conj(t2)
+    )
+    return fp12.mul(t3, fp12.mul(fp12.cyc_sqr(f), f))      # * f^3
 
 
 def verify_pairings(a, b):
