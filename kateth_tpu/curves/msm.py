@@ -201,8 +201,15 @@ def msm(F: CurveField, points, scalar_digits: jax.Array, c: int = 8):
     gathered = tuple(jnp.take(comp, order, axis=0) for comp in points)
     # gathered: (W, *batch, N, *field_dims)
 
-    # 3. inclusive prefix scan of point adds along the sorted axis
-    prefix = prefix_scan(F, gathered, axis=n_ax)
+    # 3. inclusive prefix scan of point adds along the sorted axis — the
+    # two-level Pallas chunked scan on TPU (O(N) in-register adds), the
+    # XLA Hillis-Steele scan elsewhere
+    from . import pallas_msm
+
+    if pallas_msm.available(F, N):
+        prefix = pallas_msm.prefix_scan_kernel(F, gathered, axis=n_ax)
+    else:
+        prefix = prefix_scan(F, gathered, axis=n_ax)
     total = tuple(
         jax.lax.index_in_dim(a, N - 1, axis=n_ax, keepdims=False) for a in prefix
     )
