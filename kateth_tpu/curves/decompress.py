@@ -46,7 +46,7 @@ def g1_decompress_nosub(comp_bytes: jax.Array):
     subgroup check.
 
     Callers on the hot path fold the subgroup scalar-mul into an existing
-    255-step ladder scan (see protocol.verify_batch_rlc_sub) instead of
+    255-step ladder scan (see protocol.verify_blob_batch_fused) instead of
     paying a separate scan here; `g1_decompress` below is the standalone
     all-checks variant.
 
@@ -98,8 +98,25 @@ def g1_decompress_nosub(comp_bytes: jax.Array):
 
 
 def subgroup_check(point):
-    """r * P == identity (identity lanes pass trivially)."""
-    rP = msm_mod.scalar_mul_const(F1, point, FR.modulus)
+    """r * P == identity (identity lanes pass trivially).
+
+    On TPU the 255-step ladder runs as one whole-chain Pallas kernel;
+    the XLA scan is the portable fallback."""
+    import os
+
+    if (jax.default_backend() != "cpu" and not L._NO_PALLAS) or os.environ.get(
+        "KATETH_PALLAS_INTERPRET"
+    ) == "1":
+        from ..fields import pallas_mont as PM
+
+        batch = point[0].shape[:-1]
+        r_rows = jnp.broadcast_to(
+            jnp.asarray(L.int_to_digits(FR.modulus, FR.n_digits), jnp.uint32),
+            (*batch, FR.n_digits),
+        )
+        rP = PM.g1_scalar_mul(FP, FP.one_mont, point, r_rows)
+    else:
+        rP = msm_mod.scalar_mul_const(F1, point, FR.modulus)
     return ops.is_identity(F1, rP)
 
 

@@ -196,28 +196,100 @@ class Kzg:
     def compute_blob_kzg_proof(self, blob: bytes, commitment: bytes) -> bytes:
         return self.compute_blob_kzg_proofs([blob], [commitment])[0]
 
+    def _validate_g1_device(self, points) -> None:
+        """Batched commitment/proof validation on device (decompression
+        kernel incl. subgroup check) — replaces per-point host decode."""
+        for p in points:
+            if len(p) != BYTES_PER_COMMITMENT:
+                raise KzgError("invalid point length")
+        from ..curves import decompress
+
+        arr = jnp.asarray(
+            np.frombuffer(b"".join(bytes(p) for p in points), dtype=np.uint8).reshape(
+                len(points), BYTES_PER_COMMITMENT
+            )
+        )
+        _, ok_enc, ok_curve, ok_sub = jax.device_get(decompress.g1_decompress(arr))
+        self._raise_point_masks((ok_enc, ok_curve, ok_sub))
+
     def compute_blob_kzg_proofs(self, blobs, commitments) -> list[bytes]:
         """Batched blob proof (reference setup.rs:177-183)."""
-        for c in commitments:
-            self._decode_g1(c)  # validation only (setup.rs:179-180)
+        # validation only (setup.rs:179-180), on device
+        self._validate_g1_device(commitments)
         elements, ok = self._decode_blobs(blobs)
         self._check_ok(ok)
         z_vals = self._challenges(blobs, commitments)
         _, q_plain = self._evaluate_and_quotient(elements, z_vals)
         return self._points_to_bytes(self._commit_elements(q_plain))
 
+    # -- polynomial form conversion (no reference analog: the reference
+    # never leaves Lagrange form; this is the NTT component's consumer) --
+
+    @staticmethod
+    def _fr_planes_to_byteslists(plain) -> list[list[bytes]]:
+        """(B, N, 16) plain LE digit planes -> per-blob lists of 32-byte
+        big-endian scalars (vectorized; no per-element Python ints)."""
+        arr = np.asarray(plain).astype(np.uint16)[..., ::-1]  # MSB digit first
+        raw = arr.astype(">u2").tobytes()
+        B, N = arr.shape[0], arr.shape[1]
+        return [
+            [raw[(b * N + i) * 32 : (b * N + i) * 32 + 32] for i in range(N)]
+            for b in range(B)
+        ]
+
+    def blobs_to_coefficients(self, blobs) -> list[list[bytes]]:
+        """Blobs (evaluation form over BRP'd roots) -> monomial
+        coefficients (ascending degree), 32-byte big-endian each.
+
+        Backed by the radix-2 inverse NTT (kateth_tpu/ntt.py); the
+        distributed variant rides parallel.ntt.sharded_ntt_from_brp."""
+        from .. import ntt
+
+        elements, ok = self._decode_blobs(blobs)
+        self._check_ok(ok)
+        cm = ntt.lagrange_brp_to_monomial(protocol.fr_to_mont(elements))
+        return self._fr_planes_to_byteslists(protocol.fr_from_mont(cm))
+
+    def coefficients_to_blobs(self, coeffs) -> list[bytes]:
+        """Monomial coefficients (per-blob lists of 32-byte BE scalars,
+        ascending degree) -> blobs in the EIP-4844 evaluation layout.
+        Non-canonical coefficients raise KzgError."""
+        from .. import ntt
+
+        n = self.config.n
+        for cs in coeffs:
+            if len(cs) != n:
+                raise KzgError("invalid coefficient count")
+        joined = [b"".join(bytes(c) for c in cs) for cs in coeffs]
+        elements, ok = self._decode_blobs(joined)  # same canonicality rules
+        self._check_ok(ok)
+        ev = ntt.monomial_to_lagrange_brp(protocol.fr_to_mont(elements))
+        lists = self._fr_planes_to_byteslists(protocol.fr_from_mont(ev))
+        return [b"".join(cs) for cs in lists]
+
     def verify_kzg_proof(self, proof: bytes, commitment: bytes, z: bytes, y: bytes) -> bool:
-        """Single-point verification (reference setup.rs:96-113)."""
-        proof_pt = self._decode_g1(proof)
-        comm_pt = self._decode_g1(commitment)
+        """Single-point verification (reference setup.rs:96-113).
+
+        Point decode/validation runs ON DEVICE (decompression kernel +
+        subgroup checks folded into the y*G1 ladder) — no host
+        oracle.curve work on this path."""
+        for b in (proof, commitment):
+            if len(b) != BYTES_PER_COMMITMENT:
+                raise KzgError("invalid point length")
         z_v = self._fr_bytes_to_int(z)
         y_v = self._fr_bytes_to_int(y)
-        dp = tuple(jnp.asarray(a) for a in g1mod.from_oracle([proof_pt]))
-        dc = tuple(jnp.asarray(a) for a in g1mod.from_oracle([comm_pt]))
-        out = protocol.verify_kzg(
-            dp, dc, self._fr_planes([z_v]), self._fr_planes([y_v]), self.setup.tau2
+        pa = jnp.asarray(np.frombuffer(bytes(proof), dtype=np.uint8)[None, :])
+        ca = jnp.asarray(np.frombuffer(bytes(commitment), dtype=np.uint8)[None, :])
+        verdict, proof_masks, comm_masks = jax.device_get(
+            protocol.verify_kzg_bytes(
+                pa, ca, self._fr_planes([z_v]), self._fr_planes([y_v]), self.setup.tau2
+            )
         )
-        return bool(out[0])
+        # proof first, then commitment — the reference's decode order
+        # (setup.rs:101-106)
+        self._raise_point_masks(proof_masks)
+        self._raise_point_masks(comm_masks)
+        return bool(verdict[0])
 
     def verify_blob_kzg_proof(self, blob: bytes, commitment: bytes, proof: bytes) -> bool:
         """(reference setup.rs:208-221)."""
@@ -244,8 +316,20 @@ class Kzg:
                 raise KzgError("invalid point length")
 
         z_vals = self._challenges(blobs, commitments)
+        # The RLC challenge binds ALL inputs (blobs, commitments, proofs),
+        # like c-kzg/EIP-4844 compute_r_powers.  Deliberate divergence from
+        # the reference, which hashes only the domain + sizes
+        # (setup.rs:127-136): with predictable weights an attacker can
+        # craft two invalid triples whose pairing errors cancel, making the
+        # batch check pass where per-item verification fails.  Honest-path
+        # booleans and the spec vectors are unaffected.
         r = _hash_to_fr(
-            RC_DOMAIN + self.config.n.to_bytes(16, "big") + n.to_bytes(16, "big")
+            RC_DOMAIN
+            + self.config.n.to_bytes(16, "big")
+            + n.to_bytes(16, "big")
+            + b"".join(bytes(b) for b in blobs)
+            + b"".join(bytes(c) for c in commitments)
+            + b"".join(bytes(p) for p in proofs)
         )
         weights = [pow(r, i, FR_MOD) for i in range(n)]
         zw = [w * z % FR_MOD for w, z in zip(weights, z_vals)]
@@ -276,10 +360,12 @@ class Kzg:
         (verdict, ok_blob), (comm_masks, proof_masks) = jax.device_get(
             ((verdict, ok_blob), (comm_masks, proof_masks))
         )
-        self._raise_point_masks(comm_masks)
-        self._raise_point_masks(proof_masks)
+        # blob canonicality is reported before point validity, mirroring the
+        # reference's validation order (setup.rs:259-261)
         if not ok_blob.all():
             raise KzgError("non-canonical field element in blob")
+        self._raise_point_masks(comm_masks)
+        self._raise_point_masks(proof_masks)
         return bool(verdict)
 
     @staticmethod

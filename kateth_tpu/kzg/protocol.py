@@ -15,11 +15,13 @@ Reference anchors:
 * commit_msm        — the Pippenger MSM call (reference src/blob.rs:48-53,
                       poly.rs:68).
 * verify_kzg        — the two-pairing check (reference setup.rs:84-94).
-* verify_batch_rlc  — the random-linear-combination batch check
-                      (reference setup.rs:115-161), with true r^0 = 1
-                      weights (documented divergence from the reference's
-                      rpowers[0] == r quirk, setup.rs:141; the boolean
-                      outcome — the only observable — is unaffected).
+* verify_blob_batch_fused — the random-linear-combination batch check
+                      (reference setup.rs:115-161) fused with decode/
+                      decompress/evaluate into one device program, with
+                      true r^0 = 1 weights (documented divergence from
+                      the reference's rpowers[0] == r quirk, setup.rs:141;
+                      the boolean outcome — the only observable — is
+                      unaffected).
 
 Everything is branch-free: special cases are masks, not control flow.
 """
@@ -147,52 +149,69 @@ def commit_msm(g1_points, scalars_plain, window: int = 8):
 # verification
 # ---------------------------------------------------------------------------
 
+def _ladder_g2(point, scalar_plain):
+    """Per-lane G2 scalar multiply: the whole-chain Pallas kernel on TPU
+    (one launch for 256 steps), the XLA scan elsewhere."""
+    if jax.default_backend() != "cpu" and not L._NO_PALLAS:
+        from .. import pallas_pairing
+
+        return pallas_pairing.g2_scalar_mul(point, scalar_plain)
+    import os
+
+    if os.environ.get("KATETH_PALLAS_INTERPRET") == "1":
+        from .. import pallas_pairing
+
+        return pallas_pairing.g2_scalar_mul(point, scalar_plain)
+    return ops.scalar_mul(F2, point, scalar_plain)
+
+
 @jax.jit
-def verify_kzg(proof_pt, commitment_pt, z_plain, y_plain, tau2):
-    """e(proof, [tau]_2 - z G2) == e(C - y G1, G2), batched over leading
-    dim (reference setup.rs:84-94).  z/y are PLAIN digit planes (B, 16)."""
-    batch = z_plain.shape[:-1]
-    neg_g2 = ops.pneg(F2, g2mod.GENERATOR)
-    neg_g1 = ops.pneg(F1, g1mod.GENERATOR)
-    zg2 = ops.scalar_mul(F2, neg_g2, z_plain)
-    tau2b = tuple(jnp.broadcast_to(t, (*batch, *t.shape)) for t in tau2)
+def verify_kzg_bytes(proof_bytes, comm_bytes, z_plain, y_plain, tau2):
+    """Single-point verification, fully on device (reference
+    setup.rs:84-113): decompresses proof + commitment (curve check), folds
+    both subgroup checks into the y*G1 ladder, runs the G2 z-ladder and
+    the two-pairing check as whole-chain kernels on TPU.
+
+    Returns (verdict (B,), proof masks, commitment masks) with masks =
+    (ok_encoding, ok_curve, ok_subgroup); the caller raises KzgError.
+    """
+    B = z_plain.shape[0]
+    both = jnp.concatenate([proof_bytes, comm_bytes], axis=0)
+    pts, enc_ok, curve_ok = decompress.g1_decompress_nosub(both)
+    proof_pt = tuple(a[:B] for a in pts)
+    comm_pt = tuple(a[B:] for a in pts)
+    # ONE G1 ladder: [(-G1)*y | subgroup r*(proof ++ comm)]
+    neg_g1 = tuple(
+        jnp.broadcast_to(c, (B, *c.shape)) for c in ops.pneg(F1, g1mod.GENERATOR)
+    )
+    lanes = tuple(jnp.concatenate([g, a], axis=0) for g, a in zip(neg_g1, pts))
+    sc = jnp.concatenate(
+        [
+            y_plain,
+            jnp.broadcast_to(jnp.asarray(_R_DIGITS, jnp.uint32), (2 * B, FR.n_digits)),
+        ],
+        axis=0,
+    )
+    prods = _ladder(lanes, sc)
+    yg1 = tuple(a[:B] for a in prods)
+    sub_ok = ops.is_identity(F1, tuple(a[B:] for a in prods))  # (2B,)
+    b1 = ops.padd(F1, comm_pt, yg1)
+    neg_g2 = tuple(
+        jnp.broadcast_to(c, (B, *c.shape)) for c in ops.pneg(F2, g2mod.GENERATOR)
+    )
+    zg2 = _ladder_g2(neg_g2, z_plain)
+    tau2b = tuple(jnp.broadcast_to(t, (B, *t.shape)) for t in tau2)
     a2 = ops.padd(F2, tau2b, zg2)
-    yg1 = ops.scalar_mul(F1, neg_g1, y_plain)
-    b1 = ops.padd(F1, commitment_pt, yg1)
-    g2gen = tuple(jnp.broadcast_to(g, (*batch, *g.shape)) for g in g2mod.GENERATOR)
-    return pairing.verify_pairings((proof_pt, a2), (b1, g2gen))
+    g2gen = tuple(jnp.broadcast_to(g, (B, *g.shape)) for g in g2mod.GENERATOR)
+    verdict = pairing.verify_pairings((proof_pt, a2), (b1, g2gen))
+    return (
+        verdict,
+        (enc_ok[:B], curve_ok[:B], sub_ok[:B]),
+        (enc_ok[B:], curve_ok[B:], sub_ok[B:]),
+    )
 
 
 _R_DIGITS = L.int_to_digits(FR.modulus, FR.n_digits)
-
-
-def _lincomb3(proof_pts, cme_pts, w_plain, zw_plain, sub_pts=None):
-    """The three naive lincombs of the RLC check (reference setup.rs:152-155)
-    fused into ONE 255-step double-and-add scan over 3n lanes:
-    sum w_i proof_i, sum w_i cme_i, sum (w_i z_i) proof_i.
-
-    If `sub_pts` (a batched point, m lanes) is given, m subgroup-check
-    lanes with the static group order r as scalar ride the same scan, and
-    an (m,) `r*P == identity` mask is returned as the 4th element —
-    folding the decompression subgroup checks into this ladder instead of
-    running their own 255-step scans.
-    """
-    n = w_plain.shape[0]
-    pts = tuple(jnp.concatenate([a, b, a], axis=0) for a, b in zip(proof_pts, cme_pts))
-    sc = jnp.concatenate([w_plain, w_plain, zw_plain], axis=0)
-    if sub_pts is not None:
-        m = sub_pts[0].shape[0]
-        pts = tuple(jnp.concatenate([a, s], axis=0) for a, s in zip(pts, sub_pts))
-        r_rows = jnp.broadcast_to(jnp.asarray(_R_DIGITS, jnp.uint32), (m, FR.n_digits))
-        sc = jnp.concatenate([sc, r_rows], axis=0)
-    prods = _ladder(pts, sc)
-    lin = tuple(a[: 3 * n].reshape(3, n, *a.shape[1:]) for a in prods)
-    sums = msm_mod.tree_sum(F1, lin, axis=1)  # (3, ...)
-    out = [tuple(a[i] for a in sums) for i in range(3)]
-    if sub_pts is not None:
-        rP = tuple(a[3 * n :] for a in prods)
-        out.append(ops.is_identity(F1, rP))
-    return tuple(out)
 
 
 def _ladder(pts, sc):
@@ -204,26 +223,6 @@ def _ladder(pts, sc):
 
         return PM.g1_scalar_mul(FP, FP.one_mont, pts, sc)
     return ops.scalar_mul(F1, pts, sc)
-
-
-@jax.jit
-def verify_batch_rlc(proof_pts, cme_pts, zw_plain, w_plain, tau2):
-    """Batch RLC check (reference setup.rs:115-161):
-        e(sum w_i proof_i, [tau]_2) == e(sum w_i (C_i - y_i G1) + sum (w_i z_i) proof_i, G2)
-
-    proof_pts / cme_pts: batched points (n, ...); w / z*w: (n, 16) plain.
-    cme_pts are the already-combined (C_i - y_i G1) points.
-    """
-    lhs1, lhs2, lhs3 = _lincomb3(proof_pts, cme_pts, w_plain, zw_plain)
-    rhs = ops.padd(F1, lhs2, lhs3)
-    # keep a singleton batch dim through the pairing: the fully-unbatched
-    # (2,)-shape pairing graph miscompiles on XLA:TPU (wrong boolean),
-    # while the (2, 1)-shaped one is correct
-    lhs1 = tuple(c[None] for c in lhs1)
-    rhs = tuple(c[None] for c in rhs)
-    tau2b = tuple(c[None] for c in tau2)
-    g2gen = tuple(c[None] for c in g2mod.GENERATOR)
-    return pairing.verify_pairings((lhs1, tau2b), (rhs, g2gen))[0]
 
 
 @jax.jit
@@ -305,14 +304,6 @@ def verify_blob_batch_fused(
         (enc_ok[:B], curve_ok[:B], sub_ok[:B]),
         (enc_ok[B:], curve_ok[B:], sub_ok[B:]),
     )
-
-
-@jax.jit
-def commitments_minus_evals(commitment_pts, y_plain):
-    """C_i - y_i G1 for the batch check (reference setup.rs:235-242)."""
-    neg_g1 = ops.pneg(F1, g1mod.GENERATOR)
-    yg1 = ops.scalar_mul(F1, neg_g1, y_plain)
-    return ops.padd(F1, commitment_pts, yg1)
 
 
 # ---------------------------------------------------------------------------

@@ -85,8 +85,12 @@ def challenges(domain_and_degree: bytes, blobs: bytes, blob_len: int,
     this hardware — so hashlib is the default and the native library is
     opt-in (KATETH_NATIVE_SHA=1) for hosts without accelerated OpenSSL.
     """
-    assert len(domain_and_degree) == 32
-    assert len(blobs) == n * blob_len and len(commitments) == n * 48
+    # real errors, not asserts: these guard the C hasher's buffer reads and
+    # must survive `python -O`
+    if len(domain_and_degree) != 32:
+        raise ValueError("domain_and_degree must be 32 bytes")
+    if len(blobs) != n * blob_len or len(commitments) != n * 48:
+        raise ValueError("blobs/commitments buffer length mismatch")
     lib = _get_lib() if os.environ.get("KATETH_NATIVE_SHA") == "1" else None
     if lib is None:
         return [

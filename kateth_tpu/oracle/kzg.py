@@ -268,7 +268,17 @@ class OracleSetup:
             challenges.append(z)
             evals.append(self._evaluate(elements, z))
 
-        data = RC_DOMAIN + self.n.to_bytes(16, "big") + n.to_bytes(16, "big")
+        # r binds all inputs (c-kzg compute_r_powers style) — deliberate
+        # divergence from the reference's domain+sizes-only hash
+        # (setup.rs:127-136); see kzg/api.py for the soundness rationale.
+        data = (
+            RC_DOMAIN
+            + self.n.to_bytes(16, "big")
+            + n.to_bytes(16, "big")
+            + b"".join(bytes(b) for b in blobs)
+            + b"".join(bytes(cm) for cm in commitments)
+            + b"".join(bytes(p) for p in proofs)
+        )
         r = hash_to_fr(data)
         weights = [pow(r, i, R) for i in range(n)]
 
