@@ -118,3 +118,27 @@ class TestErrors:
     def test_batch_length_mismatch(self, kzg):
         with pytest.raises(KzgError):
             kzg.verify_blob_kzg_proof_batch([rand_blob()], [], [])
+
+
+def test_coefficients_roundtrip_and_horner(kzg, osetup):
+    """blobs_to_coefficients inverts coefficients_to_blobs, and the
+    monomial coefficients really are the polynomial: Horner evaluation at
+    each BRP'd domain root reproduces the blob elements."""
+    blob = rand_blob()
+    (coeffs,) = kzg.blobs_to_coefficients([blob])
+    assert len(coeffs) == N
+    (back,) = kzg.coefficients_to_blobs([coeffs])
+    assert back == blob
+    cs = [int.from_bytes(c, "big") for c in coeffs]
+    elements = [int.from_bytes(blob[i * 32 : (i + 1) * 32], "big") for i in range(N)]
+    for i, w in enumerate(osetup.roots_brp):
+        acc = 0
+        for c in reversed(cs):
+            acc = (acc * w + c) % of.R
+        assert acc == elements[i], f"Horner mismatch at root {i}"
+
+
+def test_coefficients_noncanonical_rejects(kzg):
+    bad = [of.R.to_bytes(32, "big")] + [bytes(32)] * (N - 1)
+    with pytest.raises(KzgError):
+        kzg.coefficients_to_blobs([bad])

@@ -74,7 +74,9 @@ def test_sharded_ntt_matches_single_device():
     from kateth_tpu import ntt as ntt_mod
     from kateth_tpu.parallel.ntt import sharded_ntt_natural
 
-    n = 64
+    # n = 256 with P = 8 gives B/P = 4 > 1, exercising the cross-device
+    # column reorder the old b == p case couldn't see
+    n = 256
     vals = [rng.randrange(of.R) for _ in range(n)]
     x = jnp.asarray(np.stack([FR.from_int(v) for v in vals]))  # Montgomery
     mesh = make_mesh(jax.devices()[:8])
@@ -84,3 +86,44 @@ def test_sharded_ntt_matches_single_device():
     # inverse roundtrip through the distributed path
     back = sharded_ntt_natural(mesh, got, inverse=True)
     assert np.array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_sharded_ntt_batched():
+    from kateth_tpu import ntt as ntt_mod
+    from kateth_tpu.parallel.ntt import sharded_ntt
+
+    n, batch = 128, 3
+    x = jnp.asarray(
+        np.stack(
+            [
+                np.stack([FR.from_int(rng.randrange(of.R)) for _ in range(n)])
+                for _ in range(batch)
+            ]
+        )
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    got = sharded_ntt(mesh, x)
+    want = ntt_mod.ntt_mont(x)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_ntt_from_brp_matches_blob_path():
+    """The BRP-input distributed NTT == the single-device monomial
+    conversion used by Kzg.blobs_to_coefficients (natural output, no
+    host permutation anywhere)."""
+    from kateth_tpu import ntt as ntt_mod
+    from kateth_tpu.parallel.ntt import sharded_ntt_from_brp
+
+    n, batch = 256, 2
+    x = jnp.asarray(
+        np.stack(
+            [
+                np.stack([FR.from_int(rng.randrange(of.R)) for _ in range(n)])
+                for _ in range(batch)
+            ]
+        )
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    got = sharded_ntt_from_brp(mesh, x, inverse=True)
+    want = ntt_mod.lagrange_brp_to_monomial(x)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
