@@ -62,15 +62,20 @@ def main() -> None:
     from kateth_tpu.oracle import field as of
 
     t0 = time.time()
-    setup_path = os.environ.get(
-        "KATETH_TRUSTED_SETUP", "/root/reference/trusted_setup_4096.json"
-    )
-    # oracle setup is only needed for the self-check; cache it
+    from kateth_tpu.kzg.setup import DEFAULT_TRUSTED_SETUP
+
+    setup_path = DEFAULT_TRUSTED_SETUP
+    # oracle setup is only needed for the self-check; cache it, keyed on
+    # the setup file's content hash so a changed KATETH_TRUSTED_SETUP can
+    # never silently reuse a stale oracle
+    import hashlib
     import pickle
 
+    with open(setup_path, "rb") as f:
+        setup_hash = hashlib.sha256(f.read()).hexdigest()[:16]
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache_dir, exist_ok=True)
-    ocache = os.path.join(cache_dir, "oracle_setup.pkl")
+    ocache = os.path.join(cache_dir, f"oracle_setup_{setup_hash}.pkl")
     if os.path.exists(ocache):
         with open(ocache, "rb") as f:
             osetup = pickle.load(f)
@@ -91,18 +96,63 @@ def main() -> None:
         blob_to_bytes([int.from_bytes(rng.bytes(32), "big") % of.R for _ in range(N_FIELD)])
         for _ in range(BATCH)
     ]
-    cms = kzg.blobs_to_kzg_commitments(blobs)
-    proofs = kzg.compute_blob_kzg_proofs(blobs, cms)
+    details = {}
+    reps = int(os.environ.get("KATETH_BENCH_REPS", "3"))
+
+    def timed(name, fn, per: int = 1):
+        """Run fn() reps times (it is already compiled by its first call
+        upstream); record ms per element."""
+        t0 = time.time()
+        for _ in range(reps):
+            fn()
+        ms = (time.time() - t0) / reps / per * 1000.0
+        details[name] = round(ms, 3)
+        print(f"# {name}: {ms:.2f} ms", file=sys.stderr)
+
+    cms = kzg.blobs_to_kzg_commitments(blobs)  # compiles the commit path
+    proofs = kzg.compute_blob_kzg_proofs(blobs, cms)  # compiles the prove path
+    timed("blob_to_kzg_commitment_ms", lambda: kzg.blobs_to_kzg_commitments(blobs), BATCH)
+    timed("compute_blob_kzg_proof_ms", lambda: kzg.compute_blob_kzg_proofs(blobs, cms), BATCH)
+
+    # optional per-kernel profiler trace of one verify pass
+    trace = "--trace" in sys.argv or os.environ.get("KATETH_BENCH_TRACE") == "1"
 
     # warmup (compile)
     assert kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs) is True
+    if trace:
+        tdir = os.path.join(cache_dir, "trace")
+        with jax.profiler.trace(tdir):
+            kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs)
+        print(f"# profiler trace written to {tdir}", file=sys.stderr)
 
-    reps = int(os.environ.get("KATETH_BENCH_REPS", "3"))
     t0 = time.time()
     for _ in range(reps):
         assert kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs) is True
     dt = (time.time() - t0) / reps
     per_s = BATCH / dt
+    details["verify_blob_kzg_proof_batch_ms_total"] = round(dt * 1000.0, 3)
+    details["batch"] = BATCH
+
+    # optional batch-size sweep (reference benches/kzg.rs:45-64 analog) —
+    # each size is a fresh XLA compile through the TPU tunnel, so this is
+    # opt-in; results land in BENCH_SWEEP.json
+    if os.environ.get("KATETH_BENCH_SWEEP") == "1":
+        sweep = {}
+        for nb in (1, 2, 4, 8, 16, 32, 64, 128):
+            bs, cs, ps = (blobs * 2)[:nb], (cms * 2)[:nb], (proofs * 2)[:nb]
+            assert kzg.verify_blob_kzg_proof_batch(bs, cs, ps) is True  # compile
+            t0 = time.time()
+            for _ in range(reps):
+                kzg.verify_blob_kzg_proof_batch(bs, cs, ps)
+            el = (time.time() - t0) / reps
+            sweep[nb] = {"ms": round(el * 1000, 2), "per_s": round(nb / el, 2)}
+            print(f"# sweep n={nb}: {el*1000:.1f} ms ({nb/el:.1f}/s)", file=sys.stderr)
+        with open(os.path.join(repo, "BENCH_SWEEP.json"), "w") as f:
+            json.dump(sweep, f, indent=1)
+        details["sweep"] = sweep
+
+    with open(os.path.join(repo, "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=1)
 
     print(
         json.dumps(

@@ -30,6 +30,17 @@ from .config import KzgConfig, MAINNET
 
 DEFAULT_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "kateth_tpu")
 
+#: vendored mainnet trusted setup (the public KZG ceremony output, same
+#: file the reference ships at its repo root), overridable via env var
+DEFAULT_TRUSTED_SETUP = os.environ.get(
+    "KATETH_TRUSTED_SETUP",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data",
+        "trusted_setup_4096.json",
+    ),
+)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)

@@ -47,10 +47,9 @@ def unhex(h):
 def kzg():
     from kateth_tpu.kzg import Kzg
 
-    path = os.environ.get(
-        "KATETH_TRUSTED_SETUP", "/root/reference/trusted_setup_4096.json"
-    )
-    return Kzg.load_json(path)
+    from kateth_tpu.kzg.setup import DEFAULT_TRUSTED_SETUP
+
+    return Kzg.load_json(DEFAULT_TRUSTED_SETUP)
 
 
 def run_rejecting(case, fn):

@@ -71,12 +71,37 @@ def not_on_curve_g1() -> bytes:
         x += 1
 
 
+def bad_point_matrix(setup, good_point: bytes) -> dict:
+    """Adversarial 48-byte encodings, every one of which MUST be rejected
+    (c-kzg/blst flag semantics; oracle g1_decompress enforces the same):
+    compression bit clear, infinity flag with nonzero body, infinity with
+    sign bit, x >= p, and sign-bit tampering that leaves the curve."""
+    cases = {}
+    # top (compression) bit clear — uncompressed prefix is not allowed here
+    enc = bytearray(good_point)
+    enc[0] &= 0x7F
+    cases["not_compressed"] = bytes(enc)
+    # infinity flag with a nonzero x body
+    enc = bytearray([0xC0] + [0] * 47)
+    enc[47] = 1
+    cases["infinity_nonzero_x"] = bytes(enc)
+    # infinity with the sign flag set
+    cases["infinity_with_sign_bit"] = bytes([0xE0] + [0] * 47)
+    # x >= p (non-canonical base-field element)
+    enc = bytearray((f.P + 1).to_bytes(48, "big"))
+    enc[0] |= 0x80
+    cases["x_noncanonical"] = bytes(enc)
+    return cases
+
+
 def main():
     if os.path.exists(CACHE):
         with open(CACHE, "rb") as fh:
             setup = pickle.load(fh)
     else:
-        setup = kzg.OracleSetup.load_json("/root/reference/trusted_setup_4096.json")
+        from kateth_tpu.kzg.setup import DEFAULT_TRUSTED_SETUP
+
+        setup = kzg.OracleSetup.load_json(DEFAULT_TRUSTED_SETUP)
         os.makedirs(os.path.dirname(CACHE), exist_ok=True)
         with open(CACHE, "wb") as fh:
             pickle.dump(setup, fh)
@@ -348,6 +373,93 @@ def main():
             },
             "output": None,
         },
+    )
+
+    # ---- adversarial point-encoding matrix across every point-taking op
+    z = random.Random(200).randrange(f.R)
+    zb = z.to_bytes(32, "big")
+    proof_v, y_v = setup.proof(blobs[0], zb)
+    for name, bad in bad_point_matrix(setup, comms[0]).items():
+        write_case(
+            "compute_blob_kzg_proof",
+            f"invalid_commitment_{name}",
+            {"input": {"blob": hexs(blobs[0]), "commitment": hexs(bad)}, "output": None},
+        )
+        write_case(
+            "verify_kzg_proof",
+            f"invalid_commitment_{name}",
+            {
+                "input": {
+                    "commitment": hexs(bad),
+                    "z": hexs(zb),
+                    "y": hexs(y_v),
+                    "proof": hexs(proof_v),
+                },
+                "output": None,
+            },
+        )
+        write_case(
+            "verify_blob_kzg_proof",
+            f"invalid_proof_{name}",
+            {
+                "input": {
+                    "blob": hexs(blobs[0]),
+                    "commitment": hexs(comms[0]),
+                    "proof": hexs(bad),
+                },
+                "output": None,
+            },
+        )
+        write_case(
+            "verify_blob_kzg_proof_batch",
+            f"invalid_commitment_{name}",
+            {
+                "input": {
+                    "blobs": [hexs(blobs[0])],
+                    "commitments": [hexs(bad)],
+                    "proofs": [hexs(proofs[0])],
+                },
+                "output": None,
+            },
+        )
+
+    # sign-bit flip negates the point: still a VALID encoding, verification
+    # must return False (not an error)
+    neg_comm = c.g1_compress(c.g1_neg(c.g1_decompress(comms[1])))
+    write_case(
+        "verify_blob_kzg_proof",
+        "valid_false_negated_commitment",
+        {
+            "input": {
+                "blob": hexs(blobs[1]),
+                "commitment": hexs(neg_comm),
+                "proof": hexs(proofs[1]),
+            },
+            "output": False,
+        },
+    )
+
+    # y non-canonical (>= r) must error, not return False
+    write_case(
+        "verify_kzg_proof",
+        "invalid_y_noncanonical",
+        {
+            "input": {
+                "commitment": hexs(comms[0]),
+                "z": hexs(zb),
+                "y": hexs(f.R.to_bytes(32, "big")),
+                "proof": hexs(proof_v),
+            },
+            "output": None,
+        },
+    )
+    # blob element exactly == r: the minimal non-canonical value
+    min_noncanon = bytearray(blobs[0])
+    min_noncanon[0:32] = f.R.to_bytes(32, "big")
+    write_case(
+        "blob_to_kzg_commitment",
+        "invalid_element_equals_r",
+        {"input": {"blob": hexs(bytes(min_noncanon))}, "output": None},
     )
 
     # sanity: oracle verifies its own vectors
