@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..curves import ops, msm as msm_mod
 from .mesh import AXIS
@@ -52,7 +52,7 @@ def sharded_msm(mesh, points, scalars_plain, window: int = 8):
         mesh=mesh,
         in_specs=(pspec, P(AXIS)),
         out_specs=(P(), P(), P()),
-        check_rep=False,  # the all_gather+tree reduction IS replicated,
+        check_vma=False,  # the all_gather+tree reduction IS replicated,
         # but the checker cannot infer it through the point-add tree
     )
     def run(pts, scal):

@@ -17,7 +17,7 @@ import os
 
 import pytest
 
-from .test_spec_vectors import cases, unhex  # reuse the loader
+from test_spec_vectors import cases, unhex  # reuse the loader
 
 pytestmark = []  # explicitly NOT gated on KATETH_MAINNET_TESTS
 
