@@ -5,10 +5,18 @@ second per chip via verify_blob_kzg_proof_batch — after a bit-exact
 self-check of the device pipeline against a vendored spec-style vector.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "pallas": bool}
 
 vs_baseline is measured against the BASELINE.json north star of 10,000
 aggregate verifications/s on a v5p-16 (8 chips) => 1,250 /s/chip.
+
+Crash containment: a Mosaic (Pallas-TPU) compiler abort is a SIGABRT that
+kills the whole process — no try/except can survive it (round 2's bench
+died exactly this way, BENCH_r02.json rc=1).  So the default entry point
+is a LAUNCHER that runs the real bench in a subprocess; if that exits
+non-zero (or times out) it reruns with KATETH_NO_PALLAS=1 so the XLA
+fallback path still produces the metric line.  `--inner` runs the bench
+directly in-process.
 """
 
 from __future__ import annotations
@@ -114,6 +122,16 @@ def main() -> None:
     timed("blob_to_kzg_commitment_ms", lambda: kzg.blobs_to_kzg_commitments(blobs), BATCH)
     timed("compute_blob_kzg_proof_ms", lambda: kzg.compute_blob_kzg_proofs(blobs, cms), BATCH)
 
+    # single-op verify latency (BASELINE config 2): full pairing check on
+    # one (commitment, z, y, proof) quadruple
+    z = rng.bytes(31) + b"\x01"
+    proof_single, y = kzg.compute_kzg_proof(blobs[0], z)
+    assert kzg.verify_kzg_proof(proof_single, cms[0], z, y) is True  # compile
+    timed(
+        "verify_kzg_proof_ms",
+        lambda: kzg.verify_kzg_proof(proof_single, cms[0], z, y),
+    )
+
     # optional per-kernel profiler trace of one verify pass
     trace = "--trace" in sys.argv or os.environ.get("KATETH_BENCH_TRACE") == "1"
 
@@ -151,6 +169,7 @@ def main() -> None:
             json.dump(sweep, f, indent=1)
         details["sweep"] = sweep
 
+    details["pallas"] = os.environ.get("KATETH_NO_PALLAS") != "1"
     with open(os.path.join(repo, "bench_details.json"), "w") as f:
         json.dump(details, f, indent=1)
 
@@ -166,5 +185,74 @@ def main() -> None:
     )
 
 
+def launch() -> int:
+    """Run the bench in a subprocess; fall back to the XLA path on ANY
+    failure so a metric line is always printed and the exit code is 0."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    timeout_s = int(os.environ.get("KATETH_BENCH_TIMEOUT", "4800"))
+    if os.environ.get("KATETH_NO_PALLAS") == "1":
+        attempts = [({}, "xla-only")]
+    else:
+        # middle rung keeps the hardware-proven MSM/ladder kernels and
+        # drops only the pairing kernels (TPU_KERNEL_CHECK.json state)
+        attempts = [
+            ({}, "full-pallas"),
+            ({"KATETH_NO_PALLAS_PAIRING": "1"}, "no-pairing-kernels"),
+            ({"KATETH_NO_PALLAS": "1"}, "xla-only"),
+        ]
+
+    for extra_env, mode in attempts:
+        env = dict(os.environ, **extra_env)
+        cmd = [sys.executable, here, "--inner"] + [
+            a for a in sys.argv[1:] if a != "--inner"
+        ]
+        try:
+            # stderr inherits (live progress); stdout captured for the line
+            res = subprocess.run(
+                cmd, env=env, stdout=subprocess.PIPE, text=True, timeout=timeout_s
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# bench attempt ({mode}) timed out after {timeout_s}s",
+                file=sys.stderr,
+            )
+            continue
+        line = None
+        for raw in res.stdout.splitlines():
+            raw = raw.strip()
+            if raw.startswith("{"):
+                line = raw
+        if res.returncode == 0 and line:
+            obj = json.loads(line)
+            obj["pallas"] = mode != "xla-only"
+            obj["pallas_mode"] = mode
+            print(json.dumps(obj))
+            return 0
+        print(
+            f"# bench attempt ({mode}) failed rc={res.returncode}; "
+            f"stdout tail: {res.stdout[-500:]!r}",
+            file=sys.stderr,
+        )
+
+    # every attempt failed — record that as data, not as a crash
+    print(
+        json.dumps(
+            {
+                "metric": "blob_proofs_verified_per_s_per_chip",
+                "value": 0.0,
+                "unit": "proofs/s/chip",
+                "vs_baseline": 0.0,
+                "error": "all bench attempts failed",
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(launch())

@@ -51,43 +51,55 @@ def _interpret() -> bool:
     return os.environ.get("KATETH_PALLAS_INTERPRET") == "1"
 
 
+def _row(D, g, c, i, k):
+    """Row index of (coord c, digit i, chain pos k) in the flattened
+    (3*D*g) sublane axis — the C-order counterpart of
+    reshape(3, D, g) -> 3*D*g, so host-side jnp.reshape and these
+    in-kernel static indices can never disagree."""
+    return (c * D + i) * g + k
+
+
 def _make_kernel(D, mod_digits, nprime_digits, one_mont, g):
     F = FieldVec(D, mod_digits, nprime_digits)
     G1 = G1Vec(F, one_mont)
 
     def kernel(p_ref, o_ref):
-        # p_ref: (1, 3, D, g, LANE_TILE) — g consecutive sorted points per
-        # lane chain; static unroll keeps every store index constant.
-        like = [p_ref[0, 0, 0, 0, :]]
+        # p_ref: (1, 3*D*g, LANE_TILE) — g consecutive sorted points per
+        # lane chain, coords/digits row-flattened (rank>3 refs trip the
+        # Mosaic layout pass: round-2's rank-5 block SIGABRT'd in
+        # layout.h:320; every kernel proven on hardware uses rank<=3).
+        like = [p_ref[0, 0, :]]
         acc = G1.identity(like)
         for k in range(g):
-            pt = tuple([p_ref[0, c, i, k, :] for i in range(D)] for c in range(3))
+            pt = tuple(
+                [p_ref[0, _row(D, g, c, i, k), :] for i in range(D)]
+                for c in range(3)
+            )
             acc = G1.padd(acc, pt)
             for c in range(3):
                 for i in range(D):
-                    o_ref[0, c, i, k, :] = acc[c][i]
+                    o_ref[0, _row(D, g, c, i, k), :] = acc[c][i]
 
     return kernel
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 4))
 def _chunked_prefix_flat(spec_key_, one_mont, g, pts, interpret=False):
-    # pts: (P, 3, D, g, G_total)
+    # pts: (P, 3*D*g, G_total)
     D = spec_key_[0]
     P = pts.shape[0]
+    R = pts.shape[1]
     Gt = pts.shape[-1]
     kernel = _make_kernel(D, spec_key_[1], spec_key_[2], one_mont, g)
     grid = (P, Gt // LANE_TILE)
-    block = (1, 3, D, g, LANE_TILE)
+    block = (1, R, LANE_TILE)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(block, lambda i, j: (i, 0, 0, 0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec(block, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec(
-            block, lambda i, j: (i, 0, 0, 0, j), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(block, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(pts.shape, jnp.uint32),
         interpret=interpret,
     )(pts)
@@ -128,10 +140,14 @@ def prefix_scan_kernel(F, p, axis: int):
     def to_kernel(c):
         return jnp.transpose(c.reshape(P, G, g, D), (0, 3, 2, 1))
 
-    pts = jnp.stack([to_kernel(c) for c in p], axis=1)
+    pts = jnp.stack([to_kernel(c) for c in p], axis=1)  # (P, 3, D, g, G)
     out = _chunked_prefix_flat(
-        spec_key(FP), tuple(int(v) for v in FP.one_mont), g, pts, _interpret()
-    )
+        spec_key(FP),
+        tuple(int(v) for v in FP.one_mont),
+        g,
+        pts.reshape(P, 3 * D * g, G),
+        _interpret(),
+    ).reshape(P, 3, D, g, G)
     # within-chain inclusive prefixes, back to (..., G, g, D) per coord
     within = tuple(
         jnp.transpose(out[:, c], (0, 3, 2, 1)).reshape(*lead, G, g, D)

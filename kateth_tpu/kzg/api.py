@@ -27,7 +27,6 @@ from ..fields.specs import FR
 from ..oracle import curve as oc
 from ..oracle.field import R as FR_MOD
 from ..oracle.kzg import FS_DOMAIN, RC_DOMAIN, KzgError
-from ..curves import g1 as g1mod
 from . import protocol
 from .config import KzgConfig, MAINNET
 from .setup import DeviceSetup
@@ -93,7 +92,12 @@ class Kzg:
 
     @staticmethod
     def _points_to_bytes(pt) -> list[bytes]:
-        return [oc.g1_compress(p) for p in g1mod.to_oracle(pt)]
+        """Batched device compression (replaces the round-2 per-point
+        oracle.g1_compress host loop — one jitted program for the whole
+        batch; reference blst_p1_compress, bls.rs:549)."""
+        from ..curves import compress
+
+        return compress.points_to_bytes(pt)
 
     def _challenge(self, blob: bytes, commitment: bytes) -> int:
         """Fiat-Shamir challenge (reference Blob::challenge, blob.rs:78-97)."""

@@ -56,9 +56,16 @@ X_ABS = -BLS_X  # 0xd201000000010000
 
 def _use_pallas() -> bool:
     """Whole-chain Pallas kernels on TPU (or CPU interpret mode for
-    tests); the XLA scan path is the portable fallback."""
+    tests); the XLA scan path is the portable fallback.
+
+    KATETH_NO_PALLAS_PAIRING=1 disables ONLY the Miller/hard-part
+    kernels (finer grain than KATETH_NO_PALLAS): the bench launcher uses
+    it to keep the hardware-proven MSM/ladder kernels when the pairing
+    kernels fail to compile (TPU_KERNEL_CHECK.json)."""
     import os
 
+    if os.environ.get("KATETH_NO_PALLAS_PAIRING") == "1":
+        return False
     if os.environ.get("KATETH_PALLAS_INTERPRET") == "1":
         return True
     return jax.default_backend() != "cpu" and not L._NO_PALLAS

@@ -171,34 +171,41 @@ def _merge_lines(F2, l1, l2):
 # kernel bodies
 # ---------------------------------------------------------------------------
 
-def _read_fp2(ref, j):
-    D = ref.shape[-2]
-    return ([ref[j, 0, i, :] for i in range(D)], [ref[j, 1, i, :] for i in range(D)])
+# All refs are rank-2 (rows*D, L): element-row r holds digits at sublanes
+# r*D .. r*D+D-1 (the C-order flattening of the old (rows, D, L) layout).
+# Round-2's rank-4 refs SIGABRT'd the Mosaic layout pass (layout.h:320);
+# every kernel proven on hardware uses rank<=3 refs.
 
 
-def _read_fp12(ref):
-    """(12, D, L) ref -> fp12 tuple; row m = (w*3 + v)*2 + u."""
-    D = ref.shape[-2]
+def _fp_rows(ref, r, D):
+    """Digit list of element-row r in a (rows*D, L) ref."""
+    return [ref[r * D + i, :] for i in range(D)]
+
+
+def _read_fp2(ref, j, D):
+    """Fp2 element at element-rows (2j, 2j+1)."""
+    return (_fp_rows(ref, 2 * j, D), _fp_rows(ref, 2 * j + 1, D))
+
+
+def _read_fp12(ref, D):
+    """(12*D, L) ref -> fp12 tuple; element-row m = (w*3 + v)*2 + u."""
 
     def fp2_at(m):
-        return (
-            [ref[2 * m, i, :] for i in range(D)],
-            [ref[2 * m + 1, i, :] for i in range(D)],
-        )
+        return (_fp_rows(ref, 2 * m, D), _fp_rows(ref, 2 * m + 1, D))
 
     c0 = tuple(fp2_at(v) for v in range(3))
     c1 = tuple(fp2_at(3 + v) for v in range(3))
     return (c0, c1)
 
 
-def _write_fp12(ref, f):
-    D = ref.shape[-2]
+def _write_fp12(ref, f, D):
     for w in range(2):
         for v in range(3):
             for u in range(2):
                 row = f[w][v][u]
+                r = (w * 3 + v) * 2 + u
                 for i in range(D):
-                    ref[(w * 3 + v) * 2 + u, i, :] = row[i]
+                    ref[r * D + i, :] = row[i]
 
 
 def _make_miller_kernel(D, mod_digits, nprime_digits, one_mont):
@@ -206,13 +213,15 @@ def _make_miller_kernel(D, mod_digits, nprime_digits, one_mont):
     F2 = Fp2Vec(F)
 
     def kernel(bits_ref, p_ref, q_ref, o_ref):
-        like = p_ref[0, 0, :]
+        # p_ref: (2*D, L) affine G1 (x, y); q_ref: (4*D, L) affine G2
+        # (x.c0, x.c1, y.c0, y.c1); o_ref: (12*D, L) fp12.
+        like = p_ref[0, :]
         one = dconst(one_mont, like)
         zero = [jnp.zeros_like(like) for _ in range(D)]
-        xp = [p_ref[0, i, :] for i in range(D)]
-        yp = [p_ref[1, i, :] for i in range(D)]
-        xq = _read_fp2(q_ref, 0)
-        yq = _read_fp2(q_ref, 1)
+        xp = _fp_rows(p_ref, 0, D)
+        yp = _fp_rows(p_ref, 1, D)
+        xq = _read_fp2(q_ref, 0, D)
+        yq = _read_fp2(q_ref, 1, D)
         q_aff = (xq, yq)
         q_proj = (xq, yq, (list(one), list(zero)))
         one2 = (list(one), list(zero))
@@ -222,8 +231,17 @@ def _make_miller_kernel(D, mod_digits, nprime_digits, one_mont):
         zero6 = (zero2, zero2, zero2)
         f0 = ((one2, zero2, zero2), zero6)
 
+        # Mosaic layout bug dodge (bisected on hardware, tools/
+        # mosaic_bisect*.py): a fori_loop carry initialized from REF-READ
+        # values SIGABRTs VectorLayoutInferer (layout.h:320); constant
+        # inits compile.  So T starts as constants and adopts Q via a
+        # first-iteration select INSIDE the body — bit-exact: at k==1 the
+        # select yields q_proj verbatim, later iterations keep the carry.
+        T0 = (zero2, one2, zero2)
+
         def step(k, carry):
             f, T = carry
+            T = _pselect(F2, k == 1, q_proj, T)
             a, b, c = _line_dbl(F2, T)
             bxp, cyp = F2.scale_fp_many([(b, xp), (c, yp)])
             T = _pdouble(F2, T)
@@ -240,19 +258,32 @@ def _make_miller_kernel(D, mod_digits, nprime_digits, one_mont):
             return (f, T)
 
         n_bits = bits_ref.shape[0]
-        f, _ = jax.lax.fori_loop(1, n_bits, step, (f0, q_proj))
+        f, _ = jax.lax.fori_loop(1, n_bits, step, (f0, T0))
         # negative BLS parameter: conjugate
-        _write_fp12(o_ref, fp12_conj(F2, f))
+        _write_fp12(o_ref, fp12_conj(F2, f), D)
 
     return kernel
 
 
-def _make_hard_part_kernel(D, mod_digits, nprime_digits):
+def _make_hard_part_kernel(D, mod_digits, nprime_digits, one_mont):
     F = FieldVec(D, mod_digits, nprime_digits)
     F2 = Fp2Vec(F)
 
     def powx(bits_ref, g):
-        """g^|x| (bits from SMEM), then conjugate for the negative sign."""
+        """g^|x| (bits from SMEM), then conjugate for the negative sign.
+
+        The chain inits acc = 1 (CONSTANTS) and walks ALL bits instead of
+        consuming bit 0 as the init — the Mosaic layout bug dodge (see
+        _make_miller_kernel / tools/mosaic_bisect4.py: ref-derived loop
+        inits SIGABRT the compiler).  Bit-exact: bit 0 of |x| is 1, so
+        after iteration 0 acc == cyc_sqr(1)*g == g verbatim (canonical
+        Montgomery digits are unique)."""
+        like = g[0][0][0][0]
+        one = dconst(one_mont, like)
+        zero = [jnp.zeros_like(like) for _ in range(D)]
+        one2 = (list(one), list(zero))
+        zero2 = (list(zero), list(zero))
+        acc0 = ((one2, zero2, zero2), (zero2, zero2, zero2))
 
         def body(k, acc):
             acc = fp12_cyc_sqr(F2, acc)
@@ -260,11 +291,11 @@ def _make_hard_part_kernel(D, mod_digits, nprime_digits):
             bit = bits_ref[k, 0] > 0
             return fp12_select(F2, bit, m, acc)
 
-        acc = jax.lax.fori_loop(1, bits_ref.shape[0], body, g)
+        acc = jax.lax.fori_loop(0, bits_ref.shape[0], body, acc0)
         return fp12_conj(F2, acc)
 
     def kernel(bits_ref, f_ref, o_ref):
-        f = _read_fp12(f_ref)
+        f = _read_fp12(f_ref, D)
         frob = lambda x: fp12_frob(F2, x, _GAMMAS)
         t0 = fp12_mul(F2, powx(bits_ref, f), fp12_conj(F2, f))
         t1 = fp12_mul(F2, powx(bits_ref, t0), fp12_conj(F2, t0))
@@ -275,7 +306,7 @@ def _make_hard_part_kernel(D, mod_digits, nprime_digits):
             fp12_conj(F2, t2),
         )
         out = fp12_mul(F2, t3, fp12_mul(F2, fp12_cyc_sqr(F2, f), f))
-        _write_fp12(o_ref, out)
+        _write_fp12(o_ref, out, D)
 
     return kernel
 
@@ -285,14 +316,12 @@ def _make_g2_ladder_kernel(D, mod_digits, nprime_digits, one_mont):
     F2 = Fp2Vec(F)
 
     def kernel(p_ref, b_ref, o_ref):
-        # p_ref: (3, 2, D, L) projective Fp2 coords; b_ref: (256, L) bits
-        like = p_ref[0, 0, 0, :]
+        # p_ref: (6*D, L) projective Fp2 coords, element-row c*2 + u;
+        # b_ref: (256, L) bits
+        like = p_ref[0, :]
         one = dconst(one_mont, like)
         zero = [jnp.zeros_like(like) for _ in range(D)]
-        base = tuple(
-            ([p_ref[c, 0, i, :] for i in range(D)], [p_ref[c, 1, i, :] for i in range(D)])
-            for c in range(3)
-        )
+        base = tuple(_read_fp2(p_ref, c, D) for c in range(3))
         zero2 = (list(zero), list(zero))
         acc = (zero2, (list(one), list(zero)), (list(zero), list(zero)))
 
@@ -306,13 +335,14 @@ def _make_g2_ladder_kernel(D, mod_digits, nprime_digits, one_mont):
         for c in range(3):
             for u in range(2):
                 for i in range(D):
-                    o_ref[c, u, i, :] = acc[c][u][i]
+                    o_ref[(c * 2 + u) * D + i, :] = acc[c][u][i]
 
     return kernel
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _g2_ladder_flat(spec_key_, pts, bits, one_mont, interpret=False):
+    # pts: (6*D, L)
     D = spec_key_[0]
     L = pts.shape[-1]
     kernel = _make_g2_ladder_kernel(D, spec_key_[1], spec_key_[2], one_mont)
@@ -320,13 +350,11 @@ def _g2_ladder_flat(spec_key_, pts, bits, one_mont, interpret=False):
         kernel,
         grid=(L // _BLOCK,),
         in_specs=[
-            pl.BlockSpec((3, 2, D, _BLOCK), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((bits.shape[0], _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (3, 2, D, _BLOCK), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, 2, D, L), jnp.uint32),
+        out_specs=pl.BlockSpec((6 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((6 * D, L), jnp.uint32),
         interpret=interpret,
     )(pts, bits)
 
@@ -351,13 +379,13 @@ def g2_scalar_mul(point, scalar_digits):
             for c in point
         ],
         axis=0,
-    )
+    ).reshape(6 * D, lanes)
     shifts = jnp.arange(16, dtype=jnp.uint32)
     bits = (scalar_digits.reshape(lanes, 16)[..., :, None] >> shifts) & 1
     bits = bits.reshape(lanes, 256)[:, ::-1].T  # MSB first, (256, L)
     Lp = -(-lanes // _BLOCK) * _BLOCK
     if Lp != lanes:
-        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, 0), (0, Lp - lanes)))
+        pts = jnp.pad(pts, ((0, 0), (0, Lp - lanes)))
         bits = jnp.pad(bits, ((0, 0), (0, Lp - lanes)))
     out = _g2_ladder_flat(
         spec_key(FP),
@@ -365,7 +393,7 @@ def g2_scalar_mul(point, scalar_digits):
         bits.astype(jnp.uint32),
         tuple(int(v) for v in FP.one_mont),
         _interpret(),
-    )
+    ).reshape(3, 2, D, -1)
     return tuple(
         jnp.transpose(out[c][:, :, :lanes], (2, 0, 1)).reshape(*batch, 2, D)
         for c in range(3)
@@ -385,6 +413,7 @@ def _pad_lanes(x, lanes):
 
 @partial(jax.jit, static_argnums=(0, 4, 5))
 def _miller_flat(spec_key_, bits, p, q, one_mont, interpret=False):
+    # p: (2*D, L) affine G1; q: (4*D, L) affine G2
     D = spec_key_[0]
     L = p.shape[-1]
     kernel = _make_miller_kernel(D, spec_key_[1], spec_key_[2], one_mont)
@@ -393,49 +422,51 @@ def _miller_flat(spec_key_, bits, p, q, one_mont, interpret=False):
         grid=(L // _BLOCK,),
         in_specs=[
             pl.BlockSpec((bits.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, D, _BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 2, D, _BLOCK), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((12, D, _BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((12, D, L), jnp.uint32),
+        out_specs=pl.BlockSpec((12 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((12 * D, L), jnp.uint32),
         interpret=interpret,
     )(bits, p, q)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _hard_part_flat(spec_key_, bits, f, interpret=False):
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _hard_part_flat(spec_key_, bits, f, one_mont, interpret=False):
+    # f: (12*D, L) fp12 rows
     D = spec_key_[0]
     L = f.shape[-1]
-    kernel = _make_hard_part_kernel(D, spec_key_[1], spec_key_[2])
+    kernel = _make_hard_part_kernel(D, spec_key_[1], spec_key_[2], one_mont)
     return pl.pallas_call(
         kernel,
         grid=(L // _BLOCK,),
         in_specs=[
             pl.BlockSpec((bits.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((12, D, _BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((12, D, _BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((12, D, L), jnp.uint32),
+        out_specs=pl.BlockSpec((12 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((12 * D, L), jnp.uint32),
         interpret=interpret,
     )(bits, f)
 
 
 def fp12_to_rows(x):
-    """(*batch, 2, 3, 2, D) -> ((12, D, L), lanes)."""
+    """(*batch, 2, 3, 2, D) -> ((12*D, L), lanes)."""
     D = x.shape[-1]
     batch = x.shape[:-4]
     lanes = 1
     for s in batch:
         lanes *= int(s)
     rows = x.reshape(lanes, 12, D)
-    return jnp.transpose(rows, (1, 2, 0)), lanes
+    return jnp.transpose(rows, (1, 2, 0)).reshape(12 * D, lanes), lanes
 
 
 def fp12_from_rows(a, batch):
-    D = a.shape[1]
+    D = a.shape[0] // 12
     lanes = 1
     for s in batch:
         lanes *= int(s)
+    a = a.reshape(12, D, -1)
     return jnp.transpose(a[:, :, :lanes], (2, 0, 1)).reshape(*batch, 2, 3, 2, D)
 
 
@@ -448,14 +479,16 @@ def miller_loop_affine(xp, yp, xq, yq):
     lanes = 1
     for s in batch:
         lanes *= int(s)
-    p = jnp.stack([xp.reshape(lanes, D).T, yp.reshape(lanes, D).T], axis=0)
+    p = jnp.stack([xp.reshape(lanes, D).T, yp.reshape(lanes, D).T], axis=0).reshape(
+        2 * D, lanes
+    )
     q = jnp.stack(
         [
             jnp.transpose(xq.reshape(lanes, 2, D), (1, 2, 0)),
             jnp.transpose(yq.reshape(lanes, 2, D), (1, 2, 0)),
         ],
         axis=0,
-    )
+    ).reshape(4 * D, lanes)
     p = _pad_lanes(p, lanes)
     q = _pad_lanes(q, lanes)
     out = _miller_flat(
@@ -475,5 +508,11 @@ def hard_part(f):
     batch = f.shape[:-4]
     rows, lanes = fp12_to_rows(f)
     rows = _pad_lanes(rows, lanes)
-    out = _hard_part_flat(spec_key(FP), jnp.asarray(_X_BITS_I32), rows, _interpret())
+    out = _hard_part_flat(
+        spec_key(FP),
+        jnp.asarray(_X_BITS_I32),
+        rows,
+        tuple(int(v) for v in FP.one_mont),
+        _interpret(),
+    )
     return fp12_from_rows(out, batch)

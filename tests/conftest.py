@@ -34,6 +34,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(_repo_root, ".cache"
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+import hashlib
 import pickle
 
 import pytest
@@ -43,18 +44,26 @@ TRUSTED_SETUP_JSON = os.path.join(REPO_ROOT, "data", "trusted_setup_4096.json")
 CACHE_DIR = os.path.join(REPO_ROOT, ".cache")
 
 
-@pytest.fixture(scope="session")
-def oracle_setup():
+def oracle_setup_cached(setup_path: str):
     """Parsed + validated trusted setup (oracle form), disk-cached because
-    the 4161 subgroup checks take ~40s in pure Python."""
+    the 4161 subgroup checks take ~40s in pure Python.  The cache is keyed
+    on the setup file's content hash so a changed setup can never silently
+    reuse a stale oracle (same scheme as bench.py)."""
     from kateth_tpu.oracle.kzg import OracleSetup
 
+    with open(setup_path, "rb") as f:
+        setup_hash = hashlib.sha256(f.read()).hexdigest()[:16]
     os.makedirs(CACHE_DIR, exist_ok=True)
-    cache = os.path.join(CACHE_DIR, "oracle_setup.pkl")
+    cache = os.path.join(CACHE_DIR, f"oracle_setup_{setup_hash}.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             return pickle.load(f)
-    setup = OracleSetup.load_json(TRUSTED_SETUP_JSON)
+    setup = OracleSetup.load_json(setup_path)
     with open(cache, "wb") as f:
         pickle.dump(setup, f)
     return setup
+
+
+@pytest.fixture(scope="session")
+def oracle_setup():
+    return oracle_setup_cached(TRUSTED_SETUP_JSON)

@@ -9,6 +9,14 @@ The vendored vectors under tests/vectors/ are mainnet-shaped (4096
 elements), which only runs acceptably on real TPU hardware — these tests
 are skipped unless KATETH_MAINNET_TESTS=1 (the driver's bench.py performs
 an equivalent bit-exactness self-check on the TPU every round).
+
+OFFICIAL FIXTURES: set KATETH_SPEC_FIXTURES to a checkout of
+ethereum/consensus-spec-tests' `tests/general/deneb/kzg` directory and
+every `<op>/kzg-mainnet/*/data.yaml` case is parametrized IN ADDITION to
+the vendored vectors (reference path template: setup.rs:305-317).  This
+box has no network egress, so CI fetches them (see the `spec-vectors`
+job in .github/workflows/ci.yaml); tests/test_setup_relation.py provides
+the local-only external ground truth.
 """
 
 from __future__ import annotations
@@ -19,6 +27,7 @@ import pytest
 import yaml
 
 VECTOR_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vectors")
+OFFICIAL_ROOT = os.environ.get("KATETH_SPEC_FIXTURES", "")
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("KATETH_MAINNET_TESTS") != "1",
@@ -26,16 +35,22 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def cases(op: str):
-    root = os.path.join(VECTOR_ROOT, op)
-    if not os.path.isdir(root):
+def _collect(root: str, prefix: str):
+    if not root or not os.path.isdir(root):
         return []
     out = []
     for name in sorted(os.listdir(root)):
         path = os.path.join(root, name, "data.yaml")
         if os.path.exists(path):
             with open(path) as f:
-                out.append(pytest.param(yaml.safe_load(f), id=name))
+                out.append(pytest.param(yaml.safe_load(f), id=f"{prefix}{name}"))
+    return out
+
+
+def cases(op: str):
+    out = _collect(os.path.join(VECTOR_ROOT, op), "")
+    # official consensus-spec-tests layout: <op>/kzg-mainnet/<case>/data.yaml
+    out += _collect(os.path.join(OFFICIAL_ROOT, op, "kzg-mainnet"), "official-")
     return out
 
 

@@ -28,7 +28,6 @@ from kateth_tpu.oracle import field as f  # noqa: E402
 from kateth_tpu.oracle import kzg  # noqa: E402
 
 VECTORS = os.path.join(REPO, "tests", "vectors")
-CACHE = os.path.join(REPO, ".cache", "oracle_setup.pkl")
 
 
 def hexs(b: bytes) -> str:
@@ -95,15 +94,21 @@ def bad_point_matrix(setup, good_point: bytes) -> dict:
 
 
 def main():
-    if os.path.exists(CACHE):
-        with open(CACHE, "rb") as fh:
+    # content-hash-keyed oracle cache (same scheme as bench.py /
+    # tests/conftest.py): a changed trusted setup can never silently emit
+    # vectors generated from a stale oracle pickle.
+    from kateth_tpu.kzg.setup import DEFAULT_TRUSTED_SETUP
+
+    with open(DEFAULT_TRUSTED_SETUP, "rb") as fh:
+        setup_hash = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cache = os.path.join(REPO, ".cache", f"oracle_setup_{setup_hash}.pkl")
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
             setup = pickle.load(fh)
     else:
-        from kateth_tpu.kzg.setup import DEFAULT_TRUSTED_SETUP
-
         setup = kzg.OracleSetup.load_json(DEFAULT_TRUSTED_SETUP)
-        os.makedirs(os.path.dirname(CACHE), exist_ok=True)
-        with open(CACHE, "wb") as fh:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "wb") as fh:
             pickle.dump(setup, fh)
 
     blobs = [random_blob(i) for i in range(4)]

@@ -106,19 +106,49 @@ def child(args) -> None:
     inv_roots = jax.device_put(dsetup.inv_roots, rep)
     points = tuple(jax.device_put(c, rep) for c in dsetup.g1_points)
 
-    # ---- the DP pipeline: one jitted SPMD program over the global mesh ----
+    # ---- the DP pipeline as two SPMD programs around the host Fiat-Shamir
+    # round trip (reference Blob::challenge, blob.rs:78-97): decode+commit
+    # on the mesh -> allgather compressed commitments -> SHA-256 challenges
+    # on the host -> challenges back onto the mesh for evaluate/quotient.
+    from jax.experimental import multihost_utils
+
+    from kateth_tpu import native
+    from kateth_tpu.curves import compress
+    from kateth_tpu.oracle.kzg import FS_DOMAIN
+
     @jax.jit
-    def pipeline(blob_bytes, roots, inv_roots):
-        elements, ok = protocol.decode_blobs(blob_bytes)
+    def decode_step(blob_bytes):
+        return protocol.decode_blobs(blob_bytes)
+
+    @jax.jit
+    def quotient_step(elements, z_plain, roots, inv_roots):
         em = protocol.fr_to_mont(elements)
-        z = em[:, 0, :]  # stand-in challenge (host Fiat-Shamir in prod)
+        z = protocol.fr_to_mont(z_plain)
         y = protocol.evaluate(em, z, roots, N)
         q = protocol.quotient(em, z, y, roots, inv_roots)
-        return elements, protocol.fr_from_mont(q), ok
+        return protocol.fr_from_mont(q)
 
     commit_j = jax.jit(lambda s: sharded_commit(mesh, points, s, window=4))
-    elements, q_plain, ok = pipeline(blob_arr, roots, inv_roots)
+
+    def fiat_shamir(commits):
+        """Cross-process allgather of the batch-sharded commitments, then
+        host-side batched SHA-256 -> sharded challenge planes."""
+        full = tuple(multihost_utils.process_allgather(c, tiled=True) for c in commits)
+        comp = compress.points_to_bytes(tuple(np.asarray(c) for c in full))
+        digests = native.challenges(
+            FS_DOMAIN + N.to_bytes(16, "big"), b"".join(blobs), 32 * N,
+            b"".join(comp), B,
+        )
+        z_np = np.stack(
+            [FR.from_int(int.from_bytes(d, "big") % of.R, mont=False) for d in digests]
+        )
+        z_sh = jax.make_array_from_callback(z_np.shape, bsh, lambda idx: z_np[idx])
+        return comp, z_sh
+
+    elements, ok = decode_step(blob_arr)
     commits = commit_j(elements)
+    comp_bytes, z_sharded = fiat_shamir(commits)
+    q_plain = quotient_step(elements, z_sharded, roots, inv_roots)
     proofs = commit_j(q_plain)
     jax.block_until_ready((commits, proofs))
 
@@ -145,6 +175,20 @@ def child(args) -> None:
             checked += 1
     assert checked > 0, f"rank {pid}: no addressable shards"
 
+    # ---- per-rank PROOF shards vs the oracle: this closes the loop over
+    # the whole FS round trip (oracle recomputes the challenge from the
+    # blob + commitment bytes itself, so a domain-separator/endianness bug
+    # in the device pipeline fails here)
+    xp, yp, zp = (local_blocks(c) for c in proofs)
+    for lo, (xd, hi) in xp.items():
+        yd, zd = yp[lo][0], zp[lo][0]
+        for row, bi in enumerate(range(lo, hi)):
+            pt = g1.to_oracle((xd[row][None], yd[row][None], zd[row][None]))[0]
+            want_proof = osetup.blob_proof(blobs[bi], want[bi])
+            assert oc.g1_compress(pt) == want_proof, (
+                f"rank {pid}: blob {bi} proof mismatch (Fiat-Shamir path)"
+            )
+
     # ---- TP: point-sharded MSM of blob 0 across ALL processes ----
     el0_np = np.stack([FR.from_int(v, mont=False) for v in vals[0]])
     pt_np = tuple(np.asarray(c) for c in dsetup.g1_points)
@@ -164,11 +208,16 @@ def child(args) -> None:
     tp_pt = g1.to_oracle(tuple(c[None] for c in tp_np))[0]
     assert oc.g1_compress(tp_pt) == want[0], f"rank {pid}: TP MSM mismatch"
 
-    # ---- timing (see module docstring caveat) ----
+    # ---- timing (see module docstring caveat); the loop includes the
+    # host Fiat-Shamir round trip, so pipeline_ms measures host<->device
+    # overlap, not just device math ----
     reps = int(os.environ.get("KATETH_BENCH_REPS", "3"))
     t0 = time.time()
     for _ in range(reps):
-        _, q, _ = pipeline(blob_arr, roots, inv_roots)
+        el, _ = decode_step(blob_arr)
+        cm = commit_j(el)
+        _, z_sh = fiat_shamir(cm)
+        q = quotient_step(el, z_sh, roots, inv_roots)
         jax.block_until_ready(commit_j(q))
     dt = (time.time() - t0) / reps
 

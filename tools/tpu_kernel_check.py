@@ -64,6 +64,8 @@ def main() -> None:
         if not ok:
             failures.append(name)
 
+    only_pairing = "--only-pairing" in sys.argv
+
     # 1. pow kernel: Fermat inversion in Fp
     def chk_pow():
         vals = [rng.randrange(1, of.P) for _ in range(4)]
@@ -74,7 +76,8 @@ def main() -> None:
             for i, v in enumerate(vals)
         )
 
-    check("pow_const", chk_pow)
+    if not only_pairing:
+        check("pow_const", chk_pow)
 
     # 2. G2 ladder kernel
     def chk_g2():
@@ -89,7 +92,8 @@ def main() -> None:
         got = g2.to_oracle(tuple(np.asarray(c) for c in out))[0]
         return oc.g2_eq(got, want)
 
-    check("g2_scalar_mul", chk_g2)
+    if not only_pairing:
+        check("g2_scalar_mul", chk_g2)
 
     # 3. G1 subgroup ladder (Pallas whole-chain)
     def chk_sub():
@@ -98,7 +102,8 @@ def main() -> None:
         ok = jax.jit(decompress.subgroup_check)(dp)
         return bool(np.asarray(ok).all())
 
-    check("subgroup_ladder", chk_sub)
+    if not only_pairing:
+        check("subgroup_ladder", chk_sub)
 
     # 4+5+6. pairing chain
     a = rng.randrange(1, of.R)
@@ -134,7 +139,7 @@ def main() -> None:
     check("verify_pairings", chk_verify)
 
     # 7. chunked-prefix MSM kernel at the real size
-    if "--skip-msm" not in sys.argv:
+    if "--skip-msm" not in sys.argv and not only_pairing:
 
         def chk_msm():
             n = 4096
