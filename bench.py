@@ -191,12 +191,17 @@ def launch() -> int:
     import subprocess
 
     here = os.path.abspath(__file__)
-    timeout_s = int(os.environ.get("KATETH_BENCH_TIMEOUT", "4800"))
+    # the pairing kernels appear in three separate graphs (batch-1 fused,
+    # batch-64 fused, single verify) and each axon AOT compile of the
+    # hard-part chain costs ~10-20 min (TPU_KERNEL_CHECK.json) — budget
+    # the first rung generously before falling back
+    timeout_s = int(os.environ.get("KATETH_BENCH_TIMEOUT", "7200"))
     if os.environ.get("KATETH_NO_PALLAS") == "1":
         attempts = [({}, "xla-only")]
     else:
-        # middle rung keeps the hardware-proven MSM/ladder kernels and
-        # drops only the pairing kernels (TPU_KERNEL_CHECK.json state)
+        # default rung = every whole-chain kernel (all hardware-proven,
+        # TPU_KERNEL_CHECK.json); middle rung drops only the pairing
+        # kernels; last rung is pure XLA
         attempts = [
             ({}, "full-pallas"),
             ({"KATETH_NO_PALLAS_PAIRING": "1"}, "no-pairing-kernels"),

@@ -284,10 +284,11 @@ class Kzg:
         y_v = self._fr_bytes_to_int(y)
         pa = jnp.asarray(np.frombuffer(bytes(proof), dtype=np.uint8)[None, :])
         ca = jnp.asarray(np.frombuffer(bytes(commitment), dtype=np.uint8)[None, :])
+        a1, a2, b1, proof_masks, comm_masks = protocol.verify_kzg_bytes(
+            pa, ca, self._fr_planes([z_v]), self._fr_planes([y_v]), self.setup.tau2
+        )
         verdict, proof_masks, comm_masks = jax.device_get(
-            protocol.verify_kzg_bytes(
-                pa, ca, self._fr_planes([z_v]), self._fr_planes([y_v]), self.setup.tau2
-            )
+            (protocol.pairing_check(a1, a2, b1), proof_masks, comm_masks)
         )
         # proof first, then commitment — the reference's decode order
         # (setup.rs:101-106)
@@ -350,7 +351,7 @@ class Kzg:
             np.frombuffer(b"".join(bytes(p) for p in proofs), dtype=np.uint8).reshape(n, 48)
         )
 
-        verdict, ok_blob, comm_masks, proof_masks = protocol.verify_blob_batch_fused(
+        pc_in, ok_blob, comm_masks, proof_masks = protocol.verify_blob_batch_fused(
             blob_arr,
             comm_arr,
             proof_arr,
@@ -360,6 +361,7 @@ class Kzg:
             self.setup.roots,
             self.setup.tau2,
         )
+        verdict = protocol.pairing_check(*pc_in)[0]
         # one host sync for verdict + all validity masks
         (verdict, ok_blob), (comm_masks, proof_masks) = jax.device_get(
             ((verdict, ok_blob), (comm_masks, proof_masks))

@@ -76,7 +76,20 @@ def _n_inv_mont(n: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnums=(3,))
 def evaluate(elements_mont, z_mont, setup_roots, n: int):
-    """Barycentric evaluation y = p(z) (reference poly.rs:10-33).
+    """Barycentric evaluation y = p(z) (reference poly.rs:10-33) with NO
+    field inversion.
+
+    The reference computes y = [sum_i f_i w_i / (z - w_i)] * (z^N - 1)/N.
+    Since the w_i are exactly the N-th roots of unity, prod_i (z - w_i)
+    = z^N - 1, so with per-index prefix/suffix products of (z - w_i)
+
+        sum_i f_i w_i / (z - w_i) * (z^N - 1)
+            = sum_i f_i w_i * prefix_{i-1} * suffix_{i+1}
+
+    and the closing factor cancels the batched-inversion total exactly:
+    y = N^{-1} * sum_i f_i w_i prefix_{i-1} suffix_{i+1}.  This drops the
+    255-bit Fermat chain AND the z^N squaring ladder from the hot verify/
+    prove paths (the scans were already paid inside batch_inv).
 
     elements_mont: (B, N, 16) Montgomery; z_mont: (B, 16) Montgomery.
     Returns y_mont (B, 16).
@@ -88,18 +101,26 @@ def evaluate(elements_mont, z_mont, setup_roots, n: int):
         FR, jnp.where(hit[..., None], elements_mont, jnp.zeros_like(elements_mont)), axis=-2
     )
     d = L.sub(FR, z_mont[:, None, :], jnp.broadcast_to(roots, elements_mont.shape))
-    invs = L.batch_inv(FR, d, axis=-2)  # hit lane -> 0
-    fw = L.mont_mul(FR, elements_mont, jnp.broadcast_to(roots, elements_mont.shape))
-    terms = L.mont_mul(FR, fw, invs)
+    # root-hit lanes have one zero factor; mask it to 1 — the whole lane's
+    # result is replaced by y_hit below, masking keeps the scans nonzero
+    one = jnp.broadcast_to(jnp.asarray(FR.one_mont, jnp.uint32), d.shape)
+    safe = jnp.where(hit[..., None], one, d)
+    mul = partial(L.mont_mul, FR)
+    ax = safe.ndim - 2  # associative_scan(reverse=...) needs nonneg axis
+    prefix = jax.lax.associative_scan(mul, safe, axis=ax)
+    suffix = jax.lax.associative_scan(mul, safe, reverse=True, axis=ax)
+    ones_row = one[..., :1, :]
+    prefix_shift = jnp.concatenate(
+        [ones_row, jax.lax.slice_in_dim(prefix, 0, n - 1, axis=ax)], axis=ax
+    )
+    suffix_shift = jnp.concatenate(
+        [jax.lax.slice_in_dim(suffix, 1, n, axis=ax), ones_row], axis=ax
+    )
+    fw = mul(elements_mont, jnp.broadcast_to(roots, elements_mont.shape))
+    terms = mul(mul(fw, prefix_shift), suffix_shift)
     s = L.sum_mod(FR, terms, axis=-2)  # (B, 16)
-    # scale = (z^N - 1) / N ; N power of two -> log2(N) squarings
-    zn = z_mont
-    for _ in range(n.bit_length() - 1):
-        zn = L.mont_sqr(FR, zn)
-    one = jnp.broadcast_to(jnp.asarray(FR.one_mont, jnp.uint32), zn.shape)
-    ninv = jnp.broadcast_to(jnp.asarray(_n_inv_mont(n), jnp.uint32), zn.shape)
-    scale = L.mont_mul(FR, L.sub(FR, zn, one), ninv)
-    y = L.mont_mul(FR, s, scale)
+    ninv = jnp.broadcast_to(jnp.asarray(_n_inv_mont(n), jnp.uint32), s.shape)
+    y = mul(s, ninv)
     return jnp.where(any_hit[..., None], y_hit, y)
 
 
@@ -166,14 +187,32 @@ def _ladder_g2(point, scalar_plain):
 
 
 @jax.jit
-def verify_kzg_bytes(proof_bytes, comm_bytes, z_plain, y_plain, tau2):
-    """Single-point verification, fully on device (reference
-    setup.rs:84-113): decompresses proof + commitment (curve check), folds
-    both subgroup checks into the y*G1 ladder, runs the G2 z-ladder and
-    the two-pairing check as whole-chain kernels on TPU.
+def pairing_check(a1, a2, b1):
+    """e(a1, a2) == e(b1, [1]_2) as its OWN top-level program.
 
-    Returns (verdict (B,), proof masks, commitment masks) with masks =
-    (ok_encoding, ok_curve, ok_subgroup); the caller raises KzgError.
+    Both verify paths end in exactly this check with identical tiny
+    shapes (B=1: two Miller lanes, one product lane), so keeping it out
+    of the fused byte-level programs means the Miller + hard-part Pallas
+    kernels — by far the most expensive axon AOT compiles, ~20 min
+    (TPU_KERNEL_CHECK.json) — compile ONCE per process and are reused by
+    every batch size, instead of once per fused graph.  Dispatch chains
+    asynchronously after the fused program; no extra host sync.
+    """
+    B = a1[0].shape[0]
+    g2gen = tuple(jnp.broadcast_to(g, (B, *g.shape)) for g in g2mod.GENERATOR)
+    return pairing.verify_pairings((a1, a2), (b1, g2gen))
+
+
+@jax.jit
+def verify_kzg_bytes(proof_bytes, comm_bytes, z_plain, y_plain, tau2):
+    """Single-point verification pre-pairing program (reference
+    setup.rs:84-113): decompresses proof + commitment (curve check), folds
+    both subgroup checks into the y*G1 ladder, runs the G2 z-ladder as a
+    whole-chain kernel on TPU.
+
+    Returns (a1, a2, b1, proof masks, commitment masks) — feed the first
+    three to `pairing_check` for the verdict; masks = (ok_encoding,
+    ok_curve, ok_subgroup); the caller raises KzgError.
     """
     B = z_plain.shape[0]
     both = jnp.concatenate([proof_bytes, comm_bytes], axis=0)
@@ -202,10 +241,10 @@ def verify_kzg_bytes(proof_bytes, comm_bytes, z_plain, y_plain, tau2):
     zg2 = _ladder_g2(neg_g2, z_plain)
     tau2b = tuple(jnp.broadcast_to(t, (B, *t.shape)) for t in tau2)
     a2 = ops.padd(F2, tau2b, zg2)
-    g2gen = tuple(jnp.broadcast_to(g, (B, *g.shape)) for g in g2mod.GENERATOR)
-    verdict = pairing.verify_pairings((proof_pt, a2), (b1, g2gen))
     return (
-        verdict,
+        proof_pt,
+        a2,
+        b1,
         (enc_ok[:B], curve_ok[:B], sub_ok[:B]),
         (enc_ok[B:], curve_ok[B:], sub_ok[B:]),
     )
@@ -242,8 +281,10 @@ def verify_blob_batch_fused(
 
     Host precomputes (byte joins, SHA-256 Fiat-Shamir challenges z, RLC
     weights w and z*w) arrive as plain digit planes.  Returns
-    (verdict, ok_blob (B,), comm validity masks, proof validity masks);
-    the caller raises KzgError from the masks.
+    ((a1, a2, b1) pairing-check inputs, ok_blob (B,), comm validity
+    masks, proof validity masks); the caller feeds the first triple to
+    `pairing_check` (kept out of this graph so the expensive pairing
+    kernels compile once per process) and raises KzgError from the masks.
     """
     B = blob_bytes.shape[0]
     elements, ok_blob = decode_blobs(blob_bytes)
@@ -296,10 +337,8 @@ def verify_blob_batch_fused(
     lhs1 = tuple(c[None] for c in lhs1)
     rhs = tuple(c[None] for c in rhs)
     tau2b = tuple(c[None] for c in tau2)
-    g2gen = tuple(c[None] for c in g2mod.GENERATOR)
-    verdict = pairing.verify_pairings((lhs1, tau2b), (rhs, g2gen))[0]
     return (
-        verdict,
+        (lhs1, tau2b, rhs),
         ok_blob,
         (enc_ok[:B], curve_ok[:B], sub_ok[:B]),
         (enc_ok[B:], curve_ok[B:], sub_ok[B:]),

@@ -55,13 +55,15 @@ X_ABS = -BLS_X  # 0xd201000000010000
 
 
 def _use_pallas() -> bool:
-    """Whole-chain Pallas kernels on TPU (or CPU interpret mode for
-    tests); the XLA scan path is the portable fallback.
+    """Whole-chain Pallas Miller/hard-part kernels on TPU (default), the
+    XLA scan path elsewhere.
 
-    KATETH_NO_PALLAS_PAIRING=1 disables ONLY the Miller/hard-part
-    kernels (finer grain than KATETH_NO_PALLAS): the bench launcher uses
-    it to keep the hardware-proven MSM/ladder kernels when the pairing
-    kernels fail to compile (TPU_KERNEL_CHECK.json)."""
+    Hardware record: ALL pairing kernels pass bit-exact vs the oracle on
+    v5e (TPU_KERNEL_CHECK.json round 3, after the const-init layout fix
+    and the hard-part scoped-VMEM raise) — which is what qualifies them
+    for the default path.  KATETH_NO_PALLAS_PAIRING=1 disables ONLY these
+    kernels (the bench launcher's middle fallback rung);
+    KATETH_PALLAS_INTERPRET=1 exercises the bodies on CPU for tests."""
     import os
 
     if os.environ.get("KATETH_NO_PALLAS_PAIRING") == "1":

@@ -446,6 +446,11 @@ def _hard_part_flat(spec_key_, bits, f, one_mont, interpret=False):
         ],
         out_specs=pl.BlockSpec((12 * D, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((12 * D, L), jnp.uint32),
+        # the 7 sequential powx fori_loops keep ~145 (288, 128) temporaries
+        # live across loop boundaries; the default 16 MiB scoped-VMEM limit
+        # OOMs at 21.3 MiB (hardware log, round 3) — raise it (v5e VMEM is
+        # 128 MiB; this kernel runs alone)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(bits, f)
 

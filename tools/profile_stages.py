@@ -134,12 +134,14 @@ def main() -> None:
     prod = prod_j(f)
     bench("final_exp_1", lambda: fe_j(prod))
 
-    # whole fused verify
+    # whole fused verify: pre-pairing program, the hoisted pairing check,
+    # and the chained end-to-end latency
+    ver_args = (blob_arr, comm_arr, proof_arr, zp, zwp, wp, kzg.setup.roots, kzg.setup.tau2)
     ver_j = _jax.jit(protocol.verify_blob_batch_fused)
-    bench(
-        "verify_fused",
-        lambda: ver_j(blob_arr, comm_arr, proof_arr, zp, zwp, wp, kzg.setup.roots, kzg.setup.tau2),
-    )
+    bench("verify_fused_pre", lambda: ver_j(*ver_args))
+    pc_in = ver_j(*ver_args)[0]
+    bench("pairing_check", lambda: protocol.pairing_check(*pc_in))
+    bench("verify_end_to_end", lambda: protocol.pairing_check(*ver_j(*ver_args)[0]))
 
     # commit MSM
     bench("commit_msm_chunk8", lambda: kzg._commit_elements(elements[:8]))

@@ -33,6 +33,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # this tool IS the hardware gate for the opt-in pairing kernels
+    os.environ.setdefault("KATETH_PALLAS_PAIRING", "1")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax"))
