@@ -122,16 +122,6 @@ def main() -> None:
     timed("blob_to_kzg_commitment_ms", lambda: kzg.blobs_to_kzg_commitments(blobs), BATCH)
     timed("compute_blob_kzg_proof_ms", lambda: kzg.compute_blob_kzg_proofs(blobs, cms), BATCH)
 
-    # single-op verify latency (BASELINE config 2): full pairing check on
-    # one (commitment, z, y, proof) quadruple
-    z = rng.bytes(31) + b"\x01"
-    proof_single, y = kzg.compute_kzg_proof(blobs[0], z)
-    assert kzg.verify_kzg_proof(proof_single, cms[0], z, y) is True  # compile
-    timed(
-        "verify_kzg_proof_ms",
-        lambda: kzg.verify_kzg_proof(proof_single, cms[0], z, y),
-    )
-
     # optional per-kernel profiler trace of one verify pass
     trace = "--trace" in sys.argv or os.environ.get("KATETH_BENCH_TRACE") == "1"
 
@@ -150,6 +140,22 @@ def main() -> None:
     per_s = BATCH / dt
     details["verify_blob_kzg_proof_batch_ms_total"] = round(dt * 1000.0, 3)
     details["batch"] = BATCH
+
+    # single-op verify latency (BASELINE config 2): full pairing check on
+    # one (commitment, z, y, proof) quadruple.  Runs AFTER the headline
+    # batch metric and inside try/except: a bug here must never cost the
+    # metric line (round-3 lesson — a non-canonical z killed a 20-min run).
+    try:
+        z = b"\x00" + rng.bytes(31)  # leading zero byte => always < Fr modulus
+        proof_single, y = kzg.compute_kzg_proof(blobs[0], z)
+        assert kzg.verify_kzg_proof(proof_single, cms[0], z, y) is True  # compile
+        timed(
+            "verify_kzg_proof_ms",
+            lambda: kzg.verify_kzg_proof(proof_single, cms[0], z, y),
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        details["verify_kzg_proof_error"] = repr(e)
+        print(f"# single-op verify timing failed: {e!r}", file=sys.stderr)
 
     # optional batch-size sweep (reference benches/kzg.rs:45-64 analog) —
     # each size is a fresh XLA compile through the TPU tunnel, so this is
