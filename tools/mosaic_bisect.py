@@ -1,5 +1,17 @@
 """Bisect the Mosaic layout.h:320 crash in the pairing kernel bodies.
 
+HISTORICAL REPRO TOOL (kept as the one documented bisection harness; the
+rounds-2..5 variants were collapsed into the findings below).  Conclusions
+of the full bisection, now encoded as invariants in pallas_pairing.py /
+pallas_mont.py and recorded in TPU_KERNEL_CHECK.json:
+  - kernel refs must be rank <= 3;
+  - every fori_loop carry must be initialized from CONSTANTS (jnp.zeros /
+    broadcast of a literal), never from a value computed before the loop —
+    a computed init makes Mosaic's VectorLayoutInferer join a rank-1
+    layout with the loop body's rank-2 layout and abort at layout.h:320;
+  - with both rules applied, all whole-chain kernels (ladder, pow, Miller,
+    hard part) compile and PASS bit-exact on v5e.
+
 The round-3 rank-2 refactor fixed the MSM/ladder kernels, but the Miller
 and hard-part kernels still abort Mosaic's VectorLayoutInferer
 (inferElementwise -> VectorLayout::join, arr.size()==1 vs layout_rank 2).
