@@ -98,6 +98,46 @@ def main() -> None:
     _self_check(kzg, osetup)
     print(f"# self-check (bit-exact vs oracle) passed in {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # optional: the FULL vendored spec-vector suite in-process (reuses
+    # every graph the bench just compiled — a standalone run would pay
+    # the whole TPU compile budget again); writes SPEC_RUN.json
+    if os.environ.get("KATETH_BENCH_SPEC") == "1":
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import spec_run as spec_mod
+
+        t0 = time.time()
+        passed = total = 0
+        results = {}
+        for op in spec_mod.OPS:
+            opdir = os.path.join(repo, "tests", "vectors", op)
+            op_res = {}
+            for name in sorted(os.listdir(opdir)):
+                import yaml
+
+                with open(os.path.join(opdir, name, "data.yaml")) as f:
+                    case = yaml.safe_load(f)
+                ok, detail = spec_mod.run_case(kzg, op, case)
+                total += 1
+                passed += ok
+                op_res[name] = {"ok": bool(ok), "detail": detail}
+                if not ok:
+                    print(f"# SPEC FAIL {op}/{name}: {detail}", file=sys.stderr)
+            results[op] = op_res
+        wall = round(time.time() - t0, 1)
+        with open(os.path.join(repo, "SPEC_RUN.json"), "w") as f:
+            json.dump(
+                {
+                    "platform": jax.devices()[0].platform,
+                    "passed": passed,
+                    "total": total,
+                    "wall_s": wall,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"# spec suite: {passed}/{total} in {wall}s", file=sys.stderr)
+
     # --- workload: BATCH blobs with valid proofs ------------------------
     rng = np.random.default_rng(1)
     blobs = [
@@ -125,8 +165,10 @@ def main() -> None:
     # optional per-kernel profiler trace of one verify pass
     trace = "--trace" in sys.argv or os.environ.get("KATETH_BENCH_TRACE") == "1"
 
-    # warmup (compile)
-    assert kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs) is True
+    # warmup (compile) — explicit check, not assert: asserts vanish under
+    # python -O and a silent False here would poison every timed rep
+    if kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs) is not True:
+        raise RuntimeError("verify_blob_kzg_proof_batch returned False on valid input")
     if trace:
         tdir = os.path.join(cache_dir, "trace")
         with jax.profiler.trace(tdir):
@@ -135,7 +177,8 @@ def main() -> None:
 
     t0 = time.time()
     for _ in range(reps):
-        assert kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs) is True
+        if kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs) is not True:
+            raise RuntimeError("verify_blob_kzg_proof_batch returned False mid-bench")
     dt = (time.time() - t0) / reps
     per_s = BATCH / dt
     details["verify_blob_kzg_proof_batch_ms_total"] = round(dt * 1000.0, 3)
@@ -148,12 +191,18 @@ def main() -> None:
     try:
         z = b"\x00" + rng.bytes(31)  # leading zero byte => always < Fr modulus
         proof_single, y = kzg.compute_kzg_proof(blobs[0], z)
-        assert kzg.verify_kzg_proof(proof_single, cms[0], z, y) is True  # compile
+        if kzg.verify_kzg_proof(proof_single, cms[0], z, y) is not True:  # compile
+            # a real correctness regression must surface in the metric line,
+            # not vanish into the broad compile/tunnel except below
+            details["verify_kzg_proof_error"] = "verify returned False on valid input"
+            raise RuntimeError("single-op verify regression: False on valid input")
         timed(
             "verify_kzg_proof_ms",
             lambda: kzg.verify_kzg_proof(proof_single, cms[0], z, y),
         )
-    except Exception as e:  # pragma: no cover - defensive
+    except RuntimeError:
+        raise
+    except Exception as e:  # pragma: no cover - defensive (compile/tunnel)
         details["verify_kzg_proof_error"] = repr(e)
         print(f"# single-op verify timing failed: {e!r}", file=sys.stderr)
 
@@ -162,9 +211,10 @@ def main() -> None:
     # opt-in; results land in BENCH_SWEEP.json
     if os.environ.get("KATETH_BENCH_SWEEP") == "1":
         sweep = {}
-        for nb in (1, 2, 4, 8, 16, 32, 64, 128):
-            bs, cs, ps = (blobs * 2)[:nb], (cms * 2)[:nb], (proofs * 2)[:nb]
-            assert kzg.verify_blob_kzg_proof_batch(bs, cs, ps) is True  # compile
+        for nb in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            bs, cs, ps = (blobs * 4)[:nb], (cms * 4)[:nb], (proofs * 4)[:nb]
+            if kzg.verify_blob_kzg_proof_batch(bs, cs, ps) is not True:  # compile
+                raise RuntimeError(f"sweep n={nb}: verify returned False")
             t0 = time.time()
             for _ in range(reps):
                 kzg.verify_blob_kzg_proof_batch(bs, cs, ps)

@@ -125,3 +125,130 @@ def g1_decompress(comp_bytes: jax.Array):
     ok_encoding (B,), ok_curve (B,), ok_subgroup (B,))."""
     point, ok_encoding, ok_curve = g1_decompress_nosub(comp_bytes)
     return point, ok_encoding, ok_curve, subgroup_check(point)
+
+
+# ---------------------------------------------------------------------------
+# G2 (96-byte Zcash format) — setup-load symmetry with the reference's
+# native P2::decompress (reference src/bls.rs:554-570, setup.rs:68-72).
+# Cold path (65 points once per setup load), so the sqrt/pow chains stay
+# as XLA scans; no Pallas kernel is warranted.
+# ---------------------------------------------------------------------------
+
+from ..fields import fp2
+
+
+def _fp2_pow_const(a: jax.Array, e: int) -> jax.Array:
+    """a^e over Fp2 planes (..., 2, D) for a static int exponent; one
+    lax.scan of Karatsuba square/multiply steps."""
+    assert e > 0
+    bits = np.array([int(c) for c in bin(e)[2:]], dtype=np.bool_)
+
+    def step(acc, bit):
+        acc = fp2.sqr(acc)
+        return jnp.where(bit, fp2.mul(acc, a), acc), None
+
+    init = a  # leading bit is 1
+    if len(bits) == 1:
+        return init
+    out, _ = jax.lax.scan(step, init, jnp.asarray(bits[1:]))
+    return out
+
+
+#: b coefficient of the twist curve: 4(1 + u), Montgomery per component
+_B2_MONT = np.stack([FP.from_int(4), FP.from_int(4)])
+#: -1 in Fp (Montgomery) — the alpha == -1 test of the Fp2 sqrt
+_NEG_ONE_MONT = FP.from_int(FP.modulus - 1)
+
+
+def _fp2_sqrt(a: jax.Array):
+    """sqrt over Fp2 for p = 3 mod 4 (Adj & Rodriguez-Henriquez Alg. 9):
+
+        a1 = a^((p-3)/4); x0 = a1*a; alpha = a1*x0
+        alpha == -1 ? y = u*x0 : y = (1+alpha)^((p-1)/2) * x0
+
+    Returns the candidate root (validity = sqr(y) == a, checked by the
+    caller).  Branch-free: both candidates are computed, masks select.
+    """
+    a1 = _fp2_pow_const(a, (FP.modulus - 3) // 4)
+    x0 = fp2.mul(a1, a)
+    alpha = fp2.mul(a1, x0)
+    # u * x0 = (-c1) + c0 u
+    ux0 = jnp.stack(
+        [L.neg(FP, x0[..., 1, :]), x0[..., 0, :]], axis=-2
+    )
+    neg_one = jnp.zeros_like(alpha).at[..., 0, :].set(
+        jnp.asarray(_NEG_ONE_MONT, jnp.uint32)
+    )
+    is_neg_one = fp2.eq(alpha, neg_one)
+    one = fp2.one(alpha.shape[:-2])
+    b = _fp2_pow_const(fp2.add(one, alpha), (FP.modulus - 1) // 2)
+    y = fp2.mul(b, x0)
+    return jnp.where(is_neg_one[..., None, None], ux0, y)
+
+
+def _fp2_is_larger(y_plain: jax.Array) -> jax.Array:
+    """Lexicographic y > -y on PLAIN Fp2 planes (..., 2, D): compare the
+    c1 component first, fall back to c0 when c1 == 0 (oracle
+    _fp2_is_larger, kateth_tpu/oracle/curve.py)."""
+    c0, c1 = y_plain[..., 0, :], y_plain[..., 1, :]
+    large_c1 = L._geq(c1, _HALF_P1_DIGITS)
+    large_c0 = L._geq(c0, _HALF_P1_DIGITS)
+    return jnp.where(L.is_zero(c1), large_c0, large_c1)
+
+
+def g2_decompress_nosub(comp_bytes: jax.Array):
+    """(B, 96) u8 -> (point (X, Y, Z) each (B, 2, 24) Montgomery,
+    ok_encoding (B,), ok_curve (B,)) — Zcash G2 rules: byte order is
+    x_c1 || x_c0, flags in byte 0 of x_c1."""
+    flags = comp_bytes[..., 0].astype(jnp.uint32)
+    c_flag = (flags >> 7) & 1
+    i_flag = (flags >> 6) & 1
+    s_flag = (flags >> 5) & 1
+
+    b1 = comp_bytes[..., :48].at[..., 0].set((flags & 0x1F).astype(jnp.uint8))
+    b0 = comp_bytes[..., 48:]
+    x1_plain = L.be_bytes_to_digits(FP, b1)  # (B, 24) — the c1 component
+    x0_plain = L.be_bytes_to_digits(FP, b0)
+    canonical = L.lt_modulus(FP, x0_plain) & L.lt_modulus(FP, x1_plain)
+    x_is_zero = L.is_zero(x0_plain) & L.is_zero(x1_plain)
+    is_inf = i_flag == 1
+
+    inf_ok = (s_flag == 0) & x_is_zero
+    ok_encoding = (c_flag == 1) & jnp.where(is_inf, inf_ok, canonical)
+
+    x = jnp.stack([L.to_mont(FP, x0_plain), L.to_mont(FP, x1_plain)], axis=-2)
+    x3 = fp2.mul(fp2.sqr(x), x)
+    t = fp2.add(x3, jnp.broadcast_to(jnp.asarray(_B2_MONT, jnp.uint32), x3.shape))
+    y = _fp2_sqrt(t)
+    ok_curve = fp2.eq(fp2.sqr(y), t) | is_inf
+
+    y_plain = jnp.stack(
+        [L.from_mont(FP, y[..., 0, :]), L.from_mont(FP, y[..., 1, :])], axis=-2
+    )
+    flip = _fp2_is_larger(y_plain) != (s_flag == 1)
+    y_sel = jnp.where(flip[..., None, None], fp2.neg(y), y)
+
+    batch = flags.shape
+    one2 = fp2.one(batch)
+    zero2 = fp2.zero(batch)
+    inf_mask = is_inf[..., None, None]
+    point = (
+        jnp.where(inf_mask, zero2, x),
+        jnp.where(inf_mask, one2, y_sel),
+        jnp.where(inf_mask, zero2, one2),
+    )
+    return point, ok_encoding, ok_curve
+
+
+def g2_subgroup_check(point):
+    """r * P == identity over G2 (255-step scan; cold path)."""
+    F2 = ops.FP2_FIELD
+    rP = msm_mod.scalar_mul_const(F2, point, FR.modulus)
+    return ops.is_identity(F2, rP)
+
+
+def g2_decompress(comp_bytes: jax.Array):
+    """(B, 96) u8 -> (point each coord (B, 2, 24) Montgomery,
+    ok_encoding (B,), ok_curve (B,), ok_subgroup (B,))."""
+    point, ok_encoding, ok_curve = g2_decompress_nosub(comp_bytes)
+    return point, ok_encoding, ok_curve, g2_subgroup_check(point)

@@ -17,7 +17,9 @@ the bucket algebra but removes every scatter:
 4. The weighted bucket sum  sum_j j*S_j  collapses via the telescoping
    identity  sum_{j>=1} T_j  (T_j = sum of buckets >= j = total -
    prefix[c_j - 1]) into (B-1)*total minus a 255-point gather + sum.
-5. Windows combine with c doublings between them (Horner over 2^c).
+5. Windows combine with c doublings between them (Horner over 2^c),
+   processed one window per lax.scan iteration (MSB first) so only one
+   window's point lanes are ever resident.
 
 Compilation-model note: every repeated point operation lives inside a
 `lax.scan` body so it is traced and compiled ONCE.  The prefix scan is
@@ -155,6 +157,59 @@ def window_digits(scalar_digits: jax.Array, c: int, n_bits: int = 255) -> jax.Ar
     return jnp.moveaxis(digits, -1, 0)  # (W, ...)
 
 
+def _window_sum(F: CurveField, points, dig: jax.Array, c: int):
+    """Bucket sum of ONE window: sum_i dig[i] * points[i] for c-bit digits.
+
+    dig: (*batch, N) uint32 window digits; points (N, *field_dims) shared.
+    Returns a projective point (*batch, *field_dims) per coordinate.
+    """
+    B = 1 << c
+    fdim = _fdim(F)
+    batch = dig.shape[:-1]
+    n_ax = len(batch)  # position of the N axis in (*batch, N, ...)
+    N = jnp.shape(points[0])[0]
+
+    # sort by digit, gather points into bucket order
+    order = jnp.argsort(dig, axis=-1)  # (*batch, N)
+    sorted_digits = jnp.take_along_axis(dig, order, axis=-1)
+    gathered = tuple(jnp.take(comp, order, axis=0) for comp in points)
+    # gathered: (*batch, N, *field_dims)
+
+    # inclusive prefix scan of point adds along the sorted axis — the
+    # two-level Pallas chunked scan on TPU (O(N) in-register adds), the
+    # XLA Hillis-Steele scan elsewhere
+    from . import pallas_msm
+
+    if pallas_msm.available(F, N):
+        prefix = pallas_msm.prefix_scan_kernel(F, gathered, axis=n_ax)
+    else:
+        prefix = prefix_scan(F, gathered, axis=n_ax)
+    total = tuple(
+        jax.lax.index_in_dim(a, N - 1, axis=n_ax, keepdims=False) for a in prefix
+    )
+
+    # bucket-boundary gather: c_j = #digits < j for j = 1..B-1 (the
+    # compare+reduce fuses in XLA; no (N, B) one-hot is materialized)
+    counts = jnp.sum(
+        sorted_digits[..., None] == jnp.arange(B, dtype=jnp.uint32),
+        axis=-2,
+        dtype=jnp.int32,
+    )  # (*batch, B)
+    cum = jnp.cumsum(counts, axis=-1)  # cum[..., d] = #digits <= d
+    c_j = cum[..., : B - 1]  # #digits < j   (j = 1..B-1)
+    idx = jnp.maximum(c_j - 1, 0)  # (*batch, B-1)
+    boundary = tuple(
+        jnp.take_along_axis(a, idx.reshape(*idx.shape, *([1] * fdim)), axis=n_ax)
+        for a in prefix
+    )  # (*batch, B-1, ...)
+    empty = c_j == 0  # no digit < j: boundary_j := identity
+    boundary = ops.pselect(F, empty, ops.identity(F, (*batch, B - 1)), boundary)
+
+    # window_sum = (B-1) * total - sum_j boundary_j  (telescoping identity)
+    gsum = tree_sum(F, boundary, axis=n_ax)  # (*batch, ...)
+    return ops.padd(F, scalar_mul_const(F, total, B - 1), ops.pneg(F, gsum))
+
+
 def msm(F: CurveField, points, scalar_digits: jax.Array, c: int = 8):
     """sum_i scalars[i] * points[i], batched over leading scalar dims.
 
@@ -167,16 +222,17 @@ def msm(F: CurveField, points, scalar_digits: jax.Array, c: int = 8):
     The batch rides through the sort/gather/prefix machinery as extra
     leading axes (NOT vmap: vmap over the MSM miscompiles on XLA:TPU, and
     explicit axes let one program amortize dispatch overhead across the
-    whole blob batch).  Memory scales with batch * W * N point lanes —
-    callers chunk the batch (see kzg.api.commit_chunk).
+    whole blob batch).
+
+    Windows are processed ONE AT A TIME inside a lax.scan (MSB window
+    first, Horner combine with c doublings between iterations), so the
+    working set is O(batch * N) point lanes instead of the round-3
+    O(batch * W * N) materialization that pinned the commit batch at 8
+    (~3 GB peak at chunk 8; this form runs chunk 64 in ~300 MB).
     """
     N = jnp.shape(points[0])[0]
-    B = 1 << c
-    fdim = _fdim(F)
     batch = scalar_digits.shape[:-2]
     digits = window_digits(scalar_digits, c)  # (W, *batch, N)
-    W = digits.shape[0]
-    n_ax = 1 + len(batch)  # position of the N axis in (W, *batch, N, ...)
 
     # pad N to a power of two with zero digits + identity points
     pot = 1 if N <= 1 else 1 << (N - 1).bit_length()
@@ -195,55 +251,19 @@ def msm(F: CurveField, points, scalar_digits: jax.Array, c: int = 8):
         )
         N = pot
 
-    # 2. sort by digit within each window, gather points into bucket order
-    order = jnp.argsort(digits, axis=-1)  # (W, *batch, N)
-    sorted_digits = jnp.take_along_axis(digits, order, axis=-1)
-    gathered = tuple(jnp.take(comp, order, axis=0) for comp in points)
-    # gathered: (W, *batch, N, *field_dims)
-
-    # 3. inclusive prefix scan of point adds along the sorted axis — the
-    # two-level Pallas chunked scan on TPU (O(N) in-register adds), the
-    # XLA Hillis-Steele scan elsewhere
-    from . import pallas_msm
-
-    if pallas_msm.available(F, N):
-        prefix = pallas_msm.prefix_scan_kernel(F, gathered, axis=n_ax)
-    else:
-        prefix = prefix_scan(F, gathered, axis=n_ax)
-    total = tuple(
-        jax.lax.index_in_dim(a, N - 1, axis=n_ax, keepdims=False) for a in prefix
-    )
-
-    # 4. bucket-boundary gather: c_j = #digits < j for j = 1..B-1
-    onehot = (sorted_digits[..., None] == jnp.arange(B, dtype=jnp.uint32)).astype(
-        jnp.int32
-    )  # (W, *batch, N, B)
-    counts = jnp.sum(onehot, axis=-2)  # (W, *batch, B)
-    cum = jnp.cumsum(counts, axis=-1)  # cum[..., d] = #digits <= d
-    c_j = cum[..., : B - 1]  # #digits < j   (j = 1..B-1)
-    idx = jnp.maximum(c_j - 1, 0)  # (W, *batch, B-1)
-    boundary = tuple(
-        jnp.take_along_axis(
-            a, idx.reshape(*idx.shape, *([1] * fdim)), axis=n_ax
-        )
-        for a in prefix
-    )  # (W, *batch, B-1, ...)
-    empty = c_j == 0  # no digit < j: boundary_j := identity
-    boundary = ops.pselect(F, empty, ops.identity(F, (W, *batch, B - 1)), boundary)
-
-    # window_sum = (B-1) * total - sum_j boundary_j
-    gsum = tree_sum(F, boundary, axis=n_ax)  # (W, *batch, ...)
-    win = ops.padd(F, scalar_mul_const(F, total, B - 1), ops.pneg(F, gsum))
-
-    # 5. Horner over windows: acc = ((win[W-1] * 2^c) + win[W-2]) * 2^c + ...
-    def step(acc, w):
+    def step(acc, dig):
         for _ in range(c):
             acc = ops.pdouble(F, acc)
-        return ops.padd(F, acc, w), None
+        win = _window_sum(F, points, dig, c)
+        return ops.padd(F, acc, win), None
 
-    top = tuple(jax.lax.index_in_dim(a, W - 1, axis=0, keepdims=False) for a in win)
-    rest = tuple(a[: W - 1][::-1] for a in win)  # next-most-significant first
-    acc, _ = jax.lax.scan(step, top, rest)
+    # data-derived zero: under shard_map's varying-axes checker a constant
+    # identity carry would not match the (varying) body output type, so
+    # fold a no-op term of the input into the init to inherit its vma
+    zv = (digits.reshape(-1)[0] * 0).astype(jnp.uint32)
+    acc0 = tuple(a + zv for a in ops.identity(F, batch))
+    # MSB window first; the leading doublings on the identity are free
+    acc, _ = jax.lax.scan(step, acc0, digits[::-1])
     return acc
 
 

@@ -41,6 +41,13 @@ def _hash_to_fr(data: bytes) -> int:
     return int.from_bytes(hashlib.sha256(data).digest(), "big") % FR_MOD
 
 
+
+
+#: compressed G1 generator — the always-valid pad point for canonical
+#: batch shapes (in-subgroup, so pad lanes pass the folded subgroup check)
+_G1_GEN_BYTES = oc.g1_compress(oc.G1_GEN)
+
+
 class Kzg:
     """The library handle: device setup + compiled kernels.
 
@@ -51,20 +58,43 @@ class Kzg:
         self.setup = setup
         self.config = setup.config
 
+    def _canon(self, n: int) -> int:
+        """Canonical batch shape for a logical batch of n: the next
+        multiple of config.canon_batch.
+
+        Every batched op pads its batch up to this, so the heavy fused
+        graphs compile for a FIXED small set of shapes (64, 128, ...)
+        instead of once per caller batch size — each distinct shape
+        costs a multi-minute XLA compile on TPU (round-3 lesson: three
+        pairing-bearing graphs ate the bench budget).  Pad lanes carry
+        RLC weight 0, a zero blob and generator points, so they
+        contribute the identity to every lincomb and pass every validity
+        mask; verdicts and error semantics are unchanged.
+        """
+        cb = self.config.canon_batch
+        return cb * -(-max(n, 1) // cb)
+
     @classmethod
     def load_json(cls, path: str, config: KzgConfig = MAINNET) -> "Kzg":
         return cls(DeviceSetup.load_json(path, config))
 
     # -- host codecs -----------------------------------------------------
 
-    def _decode_blobs(self, blobs) -> tuple[jax.Array, jax.Array]:
+    def _decode_blobs(self, blobs, pad_to: int | None = None):
         """list[bytes] -> (plain element planes (B, N, 16), device ok (B,)).
-        Length errors raise immediately; canonicality comes back as a mask."""
+        Length errors raise immediately; canonicality comes back as a mask.
+        With pad_to, zero blobs (canonical) pad the batch so the decode
+        graph compiles only for canonical shapes; callers slice [:n]."""
         nbytes = self.config.bytes_per_blob
         for b in blobs:
             if len(b) != nbytes:
                 raise KzgError("invalid blob length")
-        arr = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), nbytes)
+        blobs = list(blobs)
+        if pad_to is not None and pad_to > len(blobs):
+            blobs += [b"\x00" * nbytes] * (pad_to - len(blobs))
+        arr = np.frombuffer(
+            b"".join(bytes(b) for b in blobs), dtype=np.uint8
+        ).reshape(len(blobs), nbytes)
         return protocol.decode_blobs(jnp.asarray(arr))
 
     @staticmethod
@@ -109,15 +139,21 @@ class Kzg:
         )
         return _hash_to_fr(data)
 
-    def _challenges(self, blobs, commitments) -> list[int]:
-        """Batched Fiat-Shamir challenges via the native hasher."""
+    def _challenge_digests(self, joined_blobs: bytes, joined_comms: bytes, n: int):
+        """Batched Fiat-Shamir challenge digests via the native hasher,
+        over pre-joined blob/commitment bytes (one copy, reused by the
+        caller for the device transfer)."""
         from .. import native
 
         prefix = FS_DOMAIN + self.config.n.to_bytes(16, "big")
-        digests = native.challenges(
-            prefix,
+        return native.challenges(
+            prefix, joined_blobs, self.config.bytes_per_blob, joined_comms, n
+        )
+
+    def _challenges(self, blobs, commitments) -> list[int]:
+        """Batched Fiat-Shamir challenges (reduced mod r)."""
+        digests = self._challenge_digests(
             b"".join(bytes(b) for b in blobs),
-            self.config.bytes_per_blob,
             b"".join(bytes(c) for c in commitments),
             len(blobs),
         )
@@ -132,9 +168,12 @@ class Kzg:
     #: blobs per MSM device program.  The batch axis is native to the MSM
     #: (vmap over it MISCOMPILES on XLA:TPU — all commitments come out
     #: wrong while each single-blob program is bit-exact; explicit batch
-    #: axes are both correct and amortize dispatch overhead).  8 bounds
-    #: the (chunk, W, N) point-lane memory at ~3 GB peak.
-    commit_chunk = 8
+    #: axes are both correct and amortize dispatch overhead).  With the
+    #: window-scanned MSM (curves/msm.py) the working set is O(chunk * N)
+    #: point lanes — ~300 MB at 64 — so the chunk matches the canonical
+    #: batch quantum and a 64-blob commit is ONE program invocation
+    #: (round 3 was pinned at 8 by the O(chunk * W * N) materialization).
+    commit_chunk = 64
 
     def _commit_elements(self, elements_plain: jax.Array):
         B = elements_plain.shape[0]
@@ -179,9 +218,10 @@ class Kzg:
 
     def blobs_to_kzg_commitments(self, blobs) -> list[bytes]:
         """Batched commitment (reference setup.rs:167-171)."""
-        elements, ok = self._decode_blobs(blobs)
-        self._check_ok(ok)
-        return self._points_to_bytes(self._commit_elements(elements))
+        n = len(blobs)
+        elements, ok = self._decode_blobs(blobs, pad_to=self._canon(n))
+        self._check_ok(ok[:n])
+        return self._points_to_bytes(self._commit_elements(elements))[:n]
 
     def compute_kzg_proof(self, blob: bytes, z: bytes) -> tuple[bytes, bytes]:
         (proof,), (y,) = self.compute_kzg_proofs([blob], [z])
@@ -190,41 +230,52 @@ class Kzg:
     def compute_kzg_proofs(self, blobs, zs):
         """Batched proof-at-point (reference setup.rs:185-194).
         Returns (proofs list, ys list) of bytes."""
-        elements, ok = self._decode_blobs(blobs)
-        self._check_ok(ok)
-        z_vals = [self._fr_bytes_to_int(z) for z in zs]
+        if len(blobs) != len(zs):
+            raise KzgError("length mismatch")
+        n = len(blobs)
+        nc = self._canon(n)
+        elements, ok = self._decode_blobs(blobs, pad_to=nc)
+        self._check_ok(ok[:n])
+        z_vals = [self._fr_bytes_to_int(z) for z in zs] + [0] * (nc - n)
         ys, q_plain = self._evaluate_and_quotient(elements, z_vals)
-        proofs = self._points_to_bytes(self._commit_elements(q_plain))
-        return proofs, [v.to_bytes(32, "big") for v in ys]
+        proofs = self._points_to_bytes(self._commit_elements(q_plain))[:n]
+        return proofs, [v.to_bytes(32, "big") for v in ys[:n]]
 
     def compute_blob_kzg_proof(self, blob: bytes, commitment: bytes) -> bytes:
         return self.compute_blob_kzg_proofs([blob], [commitment])[0]
 
     def _validate_g1_device(self, points) -> None:
         """Batched commitment/proof validation on device (decompression
-        kernel incl. subgroup check) — replaces per-point host decode."""
+        kernel incl. subgroup check) — replaces per-point host decode.
+        The batch pads to a canonical shape with generator bytes."""
         for p in points:
             if len(p) != BYTES_PER_COMMITMENT:
                 raise KzgError("invalid point length")
         from ..curves import decompress
 
+        n = len(points)
+        padded = list(points) + [_G1_GEN_BYTES] * (self._canon(n) - n)
         arr = jnp.asarray(
-            np.frombuffer(b"".join(bytes(p) for p in points), dtype=np.uint8).reshape(
-                len(points), BYTES_PER_COMMITMENT
+            np.frombuffer(b"".join(bytes(p) for p in padded), dtype=np.uint8).reshape(
+                len(padded), BYTES_PER_COMMITMENT
             )
         )
         _, ok_enc, ok_curve, ok_sub = jax.device_get(decompress.g1_decompress(arr))
-        self._raise_point_masks((ok_enc, ok_curve, ok_sub))
+        self._raise_point_masks((ok_enc[:n], ok_curve[:n], ok_sub[:n]))
 
     def compute_blob_kzg_proofs(self, blobs, commitments) -> list[bytes]:
         """Batched blob proof (reference setup.rs:177-183)."""
+        if len(blobs) != len(commitments):
+            raise KzgError("length mismatch")
         # validation only (setup.rs:179-180), on device
         self._validate_g1_device(commitments)
-        elements, ok = self._decode_blobs(blobs)
-        self._check_ok(ok)
-        z_vals = self._challenges(blobs, commitments)
+        n = len(blobs)
+        nc = self._canon(n)
+        elements, ok = self._decode_blobs(blobs, pad_to=nc)
+        self._check_ok(ok[:n])
+        z_vals = self._challenges(blobs, commitments) + [0] * (nc - n)
         _, q_plain = self._evaluate_and_quotient(elements, z_vals)
-        return self._points_to_bytes(self._commit_elements(q_plain))
+        return self._points_to_bytes(self._commit_elements(q_plain))[:n]
 
     # -- polynomial form conversion (no reference analog: the reference
     # never leaves Lagrange form; this is the NTT component's consumer) --
@@ -320,36 +371,58 @@ class Kzg:
             if len(p) != BYTES_PER_COMMITMENT:
                 raise KzgError("invalid point length")
 
-        z_vals = self._challenges(blobs, commitments)
+        # ONE join of each input (reused for transfer + hashing), and the
+        # padded device transfers started FIRST: jnp.asarray is async, so
+        # the 8.4 MB blob upload overlaps the host-side SHA-256 work below
+        # (~35 ms of host prefix hides behind the transfer + dispatch)
+        nc = self._canon(n)
+        pad = nc - n
+        joined_blobs = b"".join(bytes(b) for b in blobs)
+        joined_comms = b"".join(bytes(c) for c in commitments)
+        joined_proofs = b"".join(bytes(p) for p in proofs)
+        # pad lanes: weight-0, zero blob (canonical), generator points
+        # (valid, in-subgroup) — they contribute the identity to every
+        # lincomb and pass every mask
+        blob_arr = jnp.asarray(
+            np.frombuffer(
+                joined_blobs + b"\x00" * (nbytes * pad), dtype=np.uint8
+            ).reshape(nc, nbytes)
+        )
+        comm_arr = jnp.asarray(
+            np.frombuffer(joined_comms + _G1_GEN_BYTES * pad, dtype=np.uint8).reshape(
+                nc, 48
+            )
+        )
+        proof_arr = jnp.asarray(
+            np.frombuffer(joined_proofs + _G1_GEN_BYTES * pad, dtype=np.uint8).reshape(
+                nc, 48
+            )
+        )
+
+        z_digests = self._challenge_digests(joined_blobs, joined_comms, n)
+        z_vals = [int.from_bytes(d, "big") % FR_MOD for d in z_digests]
         # The RLC challenge binds ALL inputs (blobs, commitments, proofs),
         # like c-kzg/EIP-4844 compute_r_powers.  Deliberate divergence from
         # the reference, which hashes only the domain + sizes
         # (setup.rs:127-136): with predictable weights an attacker can
         # craft two invalid triples whose pairing errors cancel, making the
-        # batch check pass where per-item verification fails.  Honest-path
+        # batch check pass where per-item verification fails.  The blobs
+        # enter through the per-blob challenge DIGESTS z_i = H(domain ||
+        # blob_i || comm_i) rather than a second full pass over the raw
+        # bytes — collision resistance composes, and it saves an 8.4 MB
+        # SHA-256 pass (~19 ms/batch) on the hot path.  Honest-path
         # booleans and the spec vectors are unaffected.
         r = _hash_to_fr(
             RC_DOMAIN
             + self.config.n.to_bytes(16, "big")
             + n.to_bytes(16, "big")
-            + b"".join(bytes(b) for b in blobs)
-            + b"".join(bytes(c) for c in commitments)
-            + b"".join(bytes(p) for p in proofs)
+            + b"".join(z_digests)
+            + joined_comms
+            + joined_proofs
         )
-        weights = [pow(r, i, FR_MOD) for i in range(n)]
+        weights = [pow(r, i, FR_MOD) for i in range(n)] + [0] * pad
+        z_vals = z_vals + [0] * pad
         zw = [w * z % FR_MOD for w, z in zip(weights, z_vals)]
-
-        blob_arr = jnp.asarray(
-            np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint8).reshape(
-                n, nbytes
-            )
-        )
-        comm_arr = jnp.asarray(
-            np.frombuffer(b"".join(bytes(c) for c in commitments), dtype=np.uint8).reshape(n, 48)
-        )
-        proof_arr = jnp.asarray(
-            np.frombuffer(b"".join(bytes(p) for p in proofs), dtype=np.uint8).reshape(n, 48)
-        )
 
         pc_in, ok_blob, comm_masks, proof_masks = protocol.verify_blob_batch_fused(
             blob_arr,
@@ -367,11 +440,11 @@ class Kzg:
             ((verdict, ok_blob), (comm_masks, proof_masks))
         )
         # blob canonicality is reported before point validity, mirroring the
-        # reference's validation order (setup.rs:259-261)
-        if not ok_blob.all():
+        # reference's validation order (setup.rs:259-261); pad lanes sliced off
+        if not ok_blob[:n].all():
             raise KzgError("non-canonical field element in blob")
-        self._raise_point_masks(comm_masks)
-        self._raise_point_masks(proof_masks)
+        self._raise_point_masks(tuple(m[:n] for m in comm_masks))
+        self._raise_point_masks(tuple(m[:n] for m in proof_masks))
         return bool(verdict)
 
     @staticmethod

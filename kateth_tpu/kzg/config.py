@@ -22,10 +22,17 @@ class KzgConfig:
     g2_len: int = 65
     #: Pippenger window size in bits for the commitment/proof MSM
     msm_window: int = 8
+    #: canonical batch quantum: every batched op pads its batch up to a
+    #: multiple of this, so the heavy fused graphs compile for a FIXED
+    #: set of shapes (64, 128, ...) instead of once per caller batch size
+    #: — each distinct shape is a multi-minute XLA compile on TPU.  Tiny
+    #: test configs use a smaller quantum to keep CPU compiles cheap.
+    canon_batch: int = 64
 
     def __post_init__(self):
         assert self.n > 0 and self.n & (self.n - 1) == 0, "n must be a power of two"
         assert self.g2_len >= 2
+        assert self.canon_batch > 0
 
     @property
     def bytes_per_blob(self) -> int:

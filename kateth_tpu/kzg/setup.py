@@ -31,11 +31,12 @@ from .config import KzgConfig, MAINNET
 DEFAULT_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "kateth_tpu")
 
 #: vendored mainnet trusted setup (the public KZG ceremony output, same
-#: file the reference ships at its repo root), overridable via env var
+#: file the reference ships at its repo root), packaged inside
+#: kateth_tpu/data so installed wheels carry it; overridable via env var
 DEFAULT_TRUSTED_SETUP = os.environ.get(
     "KATETH_TRUSTED_SETUP",
     os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "data",
         "trusted_setup_4096.json",
     ),
@@ -100,6 +101,66 @@ class DeviceSetup:
         )
 
     @classmethod
+    def _load_json_device(cls, raw: bytes, config: KzgConfig) -> "DeviceSetup":
+        """Fully device-native load: batched G1 AND G2 decompression with
+        on-curve + subgroup checks as device kernels (the blst-parity path,
+        reference P1/P2::decompress at bls.rs:536-570 driven by
+        setup.rs:60-72).  Replaces ~40 s of host-Python sqrt/subgroup
+        arithmetic with two device programs."""
+        import json
+
+        from ..curves import decompress
+        from ..oracle.field import R
+        from ..oracle.kzg import KzgError
+
+        obj = json.loads(raw)
+        g1_hex, g2_hex = obj["g1_lagrange"], obj["g2_monomial"]
+        if len(g1_hex) != config.n or len(g2_hex) != config.g2_len:
+            raise KzgError("trusted setup has wrong point counts")
+
+        def unhex(h):
+            return bytes.fromhex(h[2:] if h.startswith("0x") else h)
+
+        g1b = np.frombuffer(
+            b"".join(unhex(h) for h in g1_hex), dtype=np.uint8
+        ).reshape(config.n, 48)
+        pt1, enc1, curve1, sub1 = jax.device_get(
+            decompress.g1_decompress(jnp.asarray(g1b))
+        )
+        if not (enc1.all() and curve1.all() and sub1.all()):
+            raise KzgError("invalid G1 point in trusted setup")
+        g2b = np.frombuffer(
+            b"".join(unhex(h) for h in g2_hex), dtype=np.uint8
+        ).reshape(config.g2_len, 96)
+        pt2, enc2, curve2, sub2 = jax.device_get(
+            decompress.g2_decompress(jnp.asarray(g2b))
+        )
+        if not (enc2.all() and curve2.all() and sub2.all()):
+            raise KzgError("invalid G2 point in trusted setup")
+
+        # BRP the G1 table + roots (reference setup.rs:65,75 / math.rs:34-74)
+        from ..ntt import _brp_indices
+
+        brp = _brp_indices(config.n)
+        w = pow(7, (R - 1) // config.n, R)
+        roots_nat, cur = [], 1
+        for _ in range(config.n):
+            roots_nat.append(cur)
+            cur = cur * w % R
+        roots_brp = [roots_nat[i] for i in brp]
+        roots = np.stack([FR.from_int(r) for r in roots_brp])
+        inv_roots = np.stack([FR.from_int(pow(r, R - 2, R)) for r in roots_brp])
+        return cls(
+            g1x=jnp.asarray(np.asarray(pt1[0])[brp]),
+            g1y=jnp.asarray(np.asarray(pt1[1])[brp]),
+            g1z=jnp.asarray(np.asarray(pt1[2])[brp]),
+            tau2x=jnp.asarray(pt2[0][1]), tau2y=jnp.asarray(pt2[1][1]),
+            tau2z=jnp.asarray(pt2[2][1]),
+            roots=jnp.asarray(roots), inv_roots=jnp.asarray(inv_roots),
+            config=config,
+        )
+
+    @classmethod
     def load_json(
         cls,
         path: str,
@@ -107,7 +168,13 @@ class DeviceSetup:
         cache_dir: str | None = DEFAULT_CACHE_DIR,
     ) -> "DeviceSetup":
         """Parse + validate a trusted-setup JSON (reference setup.rs:46-82),
-        with an .npz fast path keyed on the file contents."""
+        with an .npz fast path keyed on the file contents.
+
+        On an accelerator backend the decompression/validation of all
+        4096+65 points runs as device kernels (_load_json_device); on CPU
+        the host oracle does it (device sqrt chains at 4096 lanes are
+        compile-heavy on a CPU backend).  KATETH_SETUP_LOAD=device|oracle
+        forces either path."""
         with open(path, "rb") as f:
             raw = f.read()
         key = hashlib.sha256(raw).hexdigest()[:16]
@@ -125,10 +192,17 @@ class DeviceSetup:
                     roots=jnp.asarray(z["roots"]), inv_roots=jnp.asarray(z["inv_roots"]),
                     config=config,
                 )
-        from ..oracle.kzg import OracleSetup
+        mode = os.environ.get("KATETH_SETUP_LOAD", "")
+        use_device = mode == "device" or (
+            mode != "oracle" and jax.default_backend() != "cpu"
+        )
+        if use_device:
+            out = cls._load_json_device(raw, config)
+        else:
+            from ..oracle.kzg import OracleSetup
 
-        osetup = OracleSetup.load_json(path, n=config.n, g2_len=config.g2_len)
-        out = cls.from_oracle(osetup, config)
+            osetup = OracleSetup.load_json(path, n=config.n, g2_len=config.g2_len)
+            out = cls.from_oracle(osetup, config)
         if cache is not None:
             np.savez_compressed(
                 cache,

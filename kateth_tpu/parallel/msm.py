@@ -20,7 +20,7 @@ separately):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -39,12 +39,14 @@ def _allreduce_point(F, p, axis_name):
     return msm_mod.tree_sum(F, gathered, axis=0)
 
 
-def sharded_msm(mesh, points, scalars_plain, window: int = 8):
-    """One MSM with points+scalars sharded over the mesh's AXIS.
+# The shard_map programs are memoized on (mesh, window): repeated calls —
+# e.g. the commitment and proof passes of one pipeline step, which share
+# shapes — hit the in-process jit cache instead of re-tracing a fresh
+# closure (a measurable compile-surface win on the 1-core dryrun box).
 
-    points: projective tuple, coords (N, ...); scalars (N, 16) plain.
-    N must divide evenly by the mesh size.  Returns a replicated point.
-    """
+
+@lru_cache(maxsize=None)
+def _sharded_msm_prog(mesh, window: int):
     pspec = (P(AXIS), P(AXIS), P(AXIS))
 
     @partial(
@@ -59,15 +61,20 @@ def sharded_msm(mesh, points, scalars_plain, window: int = 8):
         local = msm_mod.msm(F1, pts, scal, c=window)
         return _allreduce_point(F1, local, AXIS)
 
-    return run(points, scalars_plain)
+    return jax.jit(run)
 
 
-def sharded_commit(mesh, points, scalars_batch, window: int = 8):
-    """Batched commitments, batch axis sharded, point table replicated.
+def sharded_msm(mesh, points, scalars_plain, window: int = 8):
+    """One MSM with points+scalars sharded over the mesh's AXIS.
 
-    points: coords (N, ...); scalars_batch: (B, N, 16) plain, B divisible
-    by mesh size.  Returns batched points, batch-sharded.
+    points: projective tuple, coords (N, ...); scalars (N, 16) plain.
+    N must divide evenly by the mesh size.  Returns a replicated point.
     """
+    return _sharded_msm_prog(mesh, window)(points, scalars_plain)
+
+
+@lru_cache(maxsize=None)
+def _sharded_commit_prog(mesh, window: int):
     pspec = (P(), P(), P())
 
     @partial(
@@ -79,4 +86,13 @@ def sharded_commit(mesh, points, scalars_batch, window: int = 8):
     def run(pts, scal):
         return msm_mod.msm(F1, pts, scal, c=window)
 
-    return run(points, scalars_batch)
+    return jax.jit(run)
+
+
+def sharded_commit(mesh, points, scalars_batch, window: int = 8):
+    """Batched commitments, batch axis sharded, point table replicated.
+
+    points: coords (N, ...); scalars_batch: (B, N, 16) plain, B divisible
+    by mesh size.  Returns batched points, batch-sharded.
+    """
+    return _sharded_commit_prog(mesh, window)(points, scalars_batch)

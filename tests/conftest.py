@@ -40,7 +40,9 @@ import pickle
 import pytest
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TRUSTED_SETUP_JSON = os.path.join(REPO_ROOT, "data", "trusted_setup_4096.json")
+TRUSTED_SETUP_JSON = os.path.join(
+    REPO_ROOT, "kateth_tpu", "data", "trusted_setup_4096.json"
+)
 CACHE_DIR = os.path.join(REPO_ROOT, ".cache")
 
 

@@ -88,3 +88,59 @@ def test_sign_flag_both_roots():
     assert ok_enc.all() and ok_curve.all() and ok_sub.all()
     gen = oc.jac_to_affine(oc.FP_OPS, oc.G1_GEN)
     assert got[0][0] == gen[0] and got[0][1] == of.P - gen[1]
+
+
+# ---------------------------------------------------------------------------
+# G2 (96-byte) — setup-load symmetry with the reference's P2::decompress
+# (reference src/bls.rs:554-570, setup.rs:68-72)
+# ---------------------------------------------------------------------------
+
+from kateth_tpu.curves import g2 as g2mod
+
+
+def _dev2(comp_list):
+    arr = jnp.asarray(
+        np.frombuffer(b"".join(comp_list), dtype=np.uint8).reshape(len(comp_list), 96)
+    )
+    pt, ok_enc, ok_curve, ok_sub = decompress.g2_decompress(arr)
+    return (
+        g2mod.to_oracle(pt),
+        np.asarray(ok_enc),
+        np.asarray(ok_curve),
+        np.asarray(ok_sub),
+    )
+
+
+def test_g2_valid_points_roundtrip():
+    pts = [oc.g2_mul(oc.G2_GEN, k) for k in (1, 2, 7, 0xDEADBEEF, of.R - 1)]
+    comp = [oc.g2_compress(p) for p in pts]
+    got, ok_enc, ok_curve, ok_sub = _dev2(comp)
+    assert ok_enc.all() and ok_curve.all() and ok_sub.all()
+    for g, p in zip(got, pts):
+        want = oc.jac_to_affine(oc.FP2_OPS, p)
+        assert (g[0], g[1]) == want
+
+
+def test_g2_infinity_and_sign():
+    inf = bytes([0xC0] + [0] * 95)
+    comp = bytearray(oc.g2_compress(oc.G2_GEN))
+    comp[0] ^= 0x20  # sign flip -> -G2
+    got, ok_enc, ok_curve, ok_sub = _dev2([inf, bytes(comp)])
+    assert ok_enc.all() and ok_curve.all() and ok_sub.all()
+    assert oc.jac_is_infinity(oc.FP2_OPS, got[0])
+    gen = oc.jac_to_affine(oc.FP2_OPS, oc.G2_GEN)
+    assert got[1][0] == gen[0]
+    from kateth_tpu.oracle.field import fp2_neg
+    assert got[1][1] == fp2_neg(gen[1])
+
+
+def test_g2_error_masks():
+    # x >= p in the c1 slot
+    bad = bytearray(oc.g2_compress(oc.G2_GEN))
+    bad[0:48] = (of.P + 1).to_bytes(48, "big")
+    bad[0] |= 0x80
+    # top bit clear
+    bad2 = bytearray(oc.g2_compress(oc.G2_GEN))
+    bad2[0] &= 0x7F
+    _, ok_enc, ok_curve, _ = _dev2([bytes(bad), bytes(bad2)])
+    assert not ok_enc[0] and not ok_enc[1]

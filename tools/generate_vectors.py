@@ -467,10 +467,476 @@ def main():
         {"input": {"blob": hexs(bytes(min_noncanon))}, "output": None},
     )
 
+    # =====================================================================
+    # round-4 expansion (VERDICT r3 task 7): edge field values, r-1 blobs,
+    # duplicated/permuted batches, valid-but-wrong points, infinity cases,
+    # length errors — target >= 100 cases total.
+    # =====================================================================
+    n_bytes = kzg.BYTES_PER_BLOB
+
+    # --- special blobs ---------------------------------------------------
+    rm1 = (f.R - 1).to_bytes(32, "big")
+    rm1_blob = rm1 * kzg.FIELD_ELEMENTS_PER_BLOB  # every element == r-1
+    rm1_comm = setup.blob_to_commitment(rm1_blob)
+    rm1_proof = setup.blob_proof(rm1_blob, rm1_comm)
+    sparse_blob = bytearray(n_bytes)
+    sparse_blob[37 * 32 : 38 * 32] = (12345).to_bytes(32, "big")
+    sparse_blob = bytes(sparse_blob)
+    sparse_comm = setup.blob_to_commitment(sparse_blob)
+
+    write_case(
+        "blob_to_kzg_commitment",
+        "valid_all_elements_r_minus_1",
+        {"input": {"blob": hexs(rm1_blob)}, "output": hexs(rm1_comm)},
+    )
+    write_case(
+        "blob_to_kzg_commitment",
+        "valid_zero_blob_infinity",
+        {"input": {"blob": hexs(zero_blob)}, "output": hexs(inf)},
+    )
+    write_case(
+        "blob_to_kzg_commitment",
+        "valid_sparse_blob",
+        {"input": {"blob": hexs(sparse_blob)}, "output": hexs(sparse_comm)},
+    )
+    write_case(
+        "blob_to_kzg_commitment",
+        "invalid_length_long",
+        {"input": {"blob": hexs(blobs[0] + b"\x00" * 32)}, "output": None},
+    )
+    write_case(
+        "blob_to_kzg_commitment",
+        "invalid_empty",
+        {"input": {"blob": "0x"}, "output": None},
+    )
+    mid_noncanon = bytearray(blobs[0])
+    mid_noncanon[2047 * 32 : 2048 * 32] = f.R.to_bytes(32, "big")
+    write_case(
+        "blob_to_kzg_commitment",
+        "invalid_element_equals_r_middle",
+        {"input": {"blob": hexs(bytes(mid_noncanon))}, "output": None},
+    )
+
+    # --- compute_kzg_proof edge z values ----------------------------------
+    for name, zv in (("one", 1), ("root0", setup.roots_brp[0])):
+        zb2 = zv.to_bytes(32, "big")
+        pr, yv = setup.proof(blobs[0], zb2)
+        write_case(
+            "compute_kzg_proof",
+            f"valid_z_{name}",
+            {
+                "input": {"blob": hexs(blobs[0]), "z": hexs(zb2)},
+                "output": [hexs(pr), hexs(yv)],
+            },
+        )
+    zb3 = (7).to_bytes(32, "big")
+    pr, yv = setup.proof(zero_blob, zb3)
+    write_case(
+        "compute_kzg_proof",
+        "valid_zero_blob",
+        {
+            "input": {"blob": hexs(zero_blob), "z": hexs(zb3)},
+            "output": [hexs(pr), hexs(yv)],
+        },
+    )
+    pr, yv = setup.proof(rm1_blob, zb3)
+    write_case(
+        "compute_kzg_proof",
+        "valid_blob_r_minus_1",
+        {
+            "input": {"blob": hexs(rm1_blob), "z": hexs(zb3)},
+            "output": [hexs(pr), hexs(yv)],
+        },
+    )
+    for name, bad_z in (
+        ("short", b"\x01" * 31),
+        ("long", b"\x01" * 33),
+        ("max_ff", b"\xff" * 32),
+    ):
+        write_case(
+            "compute_kzg_proof",
+            f"invalid_z_{name}",
+            {"input": {"blob": hexs(blobs[0]), "z": hexs(bad_z)}, "output": None},
+        )
+
+    # --- compute_blob_kzg_proof ------------------------------------------
+    write_case(
+        "compute_blob_kzg_proof",
+        "valid_zero_blob_infinity_commitment",
+        {
+            "input": {"blob": hexs(zero_blob), "commitment": hexs(inf)},
+            "output": hexs(setup.blob_proof(zero_blob, inf)),
+        },
+    )
+    write_case(
+        "compute_blob_kzg_proof",
+        "valid_blob_r_minus_1",
+        {
+            "input": {"blob": hexs(rm1_blob), "commitment": hexs(rm1_comm)},
+            "output": hexs(rm1_proof),
+        },
+    )
+    # the commitment is only VALIDATED, not checked against the blob — a
+    # mismatched (but valid) commitment yields a well-defined proof under
+    # the challenge it seeds (reference setup.rs:177-183 never re-commits)
+    write_case(
+        "compute_blob_kzg_proof",
+        "valid_mismatched_commitment",
+        {
+            "input": {"blob": hexs(blobs[0]), "commitment": hexs(comms[1])},
+            "output": hexs(setup.blob_proof(blobs[0], comms[1])),
+        },
+    )
+    write_case(
+        "compute_blob_kzg_proof",
+        "invalid_blob_noncanonical",
+        {
+            "input": {"blob": hexs(bad_blob_noncanon), "commitment": hexs(comms[0])},
+            "output": None,
+        },
+    )
+    write_case(
+        "compute_blob_kzg_proof",
+        "invalid_blob_short",
+        {"input": {"blob": hexs(short_blob), "commitment": hexs(comms[0])}, "output": None},
+    )
+    write_case(
+        "compute_blob_kzg_proof",
+        "invalid_commitment_short",
+        {"input": {"blob": hexs(blobs[0]), "commitment": hexs(comms[0][:47])}, "output": None},
+    )
+    write_case(
+        "compute_blob_kzg_proof",
+        "invalid_commitment_long",
+        {
+            "input": {"blob": hexs(blobs[0]), "commitment": hexs(comms[0] + b"\x00")},
+            "output": None,
+        },
+    )
+
+    # --- verify_kzg_proof edge values -------------------------------------
+    for name, zv in (("zero", 0), ("r_minus_1", f.R - 1)):
+        zb2 = zv.to_bytes(32, "big")
+        pr, yv = setup.proof(blobs[1], zb2)
+        write_case(
+            "verify_kzg_proof",
+            f"valid_true_z_{name}",
+            {
+                "input": {
+                    "commitment": hexs(comms[1]),
+                    "z": hexs(zb2),
+                    "y": hexs(yv),
+                    "proof": hexs(pr),
+                },
+                "output": True,
+            },
+        )
+    # a valid in-subgroup point that is simply the WRONG proof: False
+    write_case(
+        "verify_kzg_proof",
+        "valid_false_wrong_proof_point",
+        {
+            "input": {
+                "commitment": hexs(comms[0]),
+                "z": hexs(zb),
+                "y": hexs(y),
+                "proof": hexs(proofs[1]),
+            },
+            "output": False,
+        },
+    )
+    neg_proof = c.g1_compress(c.g1_neg(c.g1_decompress(proof)))
+    write_case(
+        "verify_kzg_proof",
+        "valid_false_negated_proof",
+        {
+            "input": {
+                "commitment": hexs(comms[0]),
+                "z": hexs(zb),
+                "y": hexs(y),
+                "proof": hexs(neg_proof),
+            },
+            "output": False,
+        },
+    )
+    write_case(
+        "verify_kzg_proof",
+        "invalid_z_noncanonical",
+        {
+            "input": {
+                "commitment": hexs(comms[0]),
+                "z": hexs(f.R.to_bytes(32, "big")),
+                "y": hexs(y),
+                "proof": hexs(proof),
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "verify_kzg_proof",
+        "invalid_y_short",
+        {
+            "input": {
+                "commitment": hexs(comms[0]),
+                "z": hexs(zb),
+                "y": hexs(y[:31]),
+                "proof": hexs(proof),
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "verify_kzg_proof",
+        "invalid_proof_short",
+        {
+            "input": {
+                "commitment": hexs(comms[0]),
+                "z": hexs(zb),
+                "y": hexs(y),
+                "proof": hexs(proof[:47]),
+            },
+            "output": None,
+        },
+    )
+    # adversarial encodings in the PROOF slot (the matrix above covers the
+    # commitment slot)
+    for name, bad in bad_point_matrix(setup, proofs[0]).items():
+        write_case(
+            "verify_kzg_proof",
+            f"invalid_proof_{name}",
+            {
+                "input": {
+                    "commitment": hexs(comms[0]),
+                    "z": hexs(zb),
+                    "y": hexs(y),
+                    "proof": hexs(bad),
+                },
+                "output": None,
+            },
+        )
+
+    # --- verify_blob_kzg_proof --------------------------------------------
+    write_case(
+        "verify_blob_kzg_proof",
+        "valid_false_wrong_blob",
+        {
+            "input": {
+                "blob": hexs(blobs[0]),
+                "commitment": hexs(comms[1]),
+                "proof": hexs(proofs[1]),
+            },
+            "output": False,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof",
+        "valid_true_r_minus_1_blob",
+        {
+            "input": {
+                "blob": hexs(rm1_blob),
+                "commitment": hexs(rm1_comm),
+                "proof": hexs(rm1_proof),
+            },
+            "output": True,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof",
+        "invalid_blob_short",
+        {
+            "input": {
+                "blob": hexs(short_blob),
+                "commitment": hexs(comms[1]),
+                "proof": hexs(proofs[1]),
+            },
+            "output": None,
+        },
+    )
+    for name, bad in bad_point_matrix(setup, comms[1]).items():
+        write_case(
+            "verify_blob_kzg_proof",
+            f"invalid_commitment_{name}",
+            {
+                "input": {
+                    "blob": hexs(blobs[1]),
+                    "commitment": hexs(bad),
+                    "proof": hexs(proofs[1]),
+                },
+                "output": None,
+            },
+        )
+
+    # --- verify_blob_kzg_proof_batch ---------------------------------------
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "valid_true_duplicated_triple",
+        {
+            "input": {
+                "blobs": [hexs(blobs[0])] * 3,
+                "commitments": [hexs(comms[0])] * 3,
+                "proofs": [hexs(proofs[0])] * 3,
+            },
+            "output": True,
+        },
+    )
+    perm = [2, 0, 3, 1]
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "valid_true_permuted",
+        {
+            "input": {
+                "blobs": [hexs(blobs[i]) for i in perm],
+                "commitments": [hexs(comms[i]) for i in perm],
+                "proofs": [hexs(proofs[i]) for i in perm],
+            },
+            "output": True,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "valid_false_one_bad_of_four",
+        {
+            "input": {
+                "blobs": [hexs(b) for b in blobs],
+                "commitments": [hexs(cm) for cm in comms],
+                "proofs": [hexs(proofs[0]), hexs(proofs[1]), hexs(proofs[2]), hexs(proofs[2])],
+            },
+            "output": False,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "valid_true_8_with_repeats",
+        {
+            "input": {
+                "blobs": [hexs(blobs[i % 4]) for i in range(8)],
+                "commitments": [hexs(comms[i % 4]) for i in range(8)],
+                "proofs": [hexs(proofs[i % 4]) for i in range(8)],
+            },
+            "output": True,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "valid_false_swapped_commitments",
+        {
+            "input": {
+                "blobs": [hexs(b) for b in blobs[:2]],
+                "commitments": [hexs(comms[1]), hexs(comms[0])],
+                "proofs": [hexs(p) for p in proofs[:2]],
+            },
+            "output": False,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "invalid_length_mismatch",
+        {
+            "input": {
+                "blobs": [hexs(b) for b in blobs[:2]],
+                "commitments": [hexs(cm) for cm in comms[:2]],
+                "proofs": [hexs(proofs[0])],
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "invalid_blob_in_batch",
+        {
+            "input": {
+                "blobs": [hexs(blobs[0]), hexs(bad_blob_noncanon)],
+                "commitments": [hexs(cm) for cm in comms[:2]],
+                "proofs": [hexs(p) for p in proofs[:2]],
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "invalid_proof_not_in_subgroup",
+        {
+            "input": {
+                "blobs": [hexs(blobs[0])],
+                "commitments": [hexs(comms[0])],
+                "proofs": [hexs(bad_sub)],
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "valid_true_with_infinity_triple",
+        {
+            "input": {
+                "blobs": [hexs(zero_blob), hexs(blobs[2])],
+                "commitments": [hexs(inf), hexs(comms[2])],
+                "proofs": [hexs(setup.blob_proof(zero_blob, inf)), hexs(proofs[2])],
+            },
+            "output": True,
+        },
+    )
+
+    write_case(
+        "verify_kzg_proof",
+        "invalid_commitment_short",
+        {
+            "input": {
+                "commitment": hexs(comms[0][:47]),
+                "z": hexs(zb),
+                "y": hexs(y),
+                "proof": hexs(proof),
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof",
+        "invalid_commitment_long",
+        {
+            "input": {
+                "blob": hexs(blobs[1]),
+                "commitment": hexs(comms[1] + b"\x00"),
+                "proof": hexs(proofs[1]),
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "compute_kzg_proof",
+        "invalid_blob_long",
+        {
+            "input": {
+                "blob": hexs(blobs[0] + b"\x00" * 32),
+                "z": hexs((1).to_bytes(32, "big")),
+            },
+            "output": None,
+        },
+    )
+    write_case(
+        "verify_blob_kzg_proof_batch",
+        "invalid_commitment_not_on_curve",
+        {
+            "input": {
+                "blobs": [hexs(blobs[0])],
+                "commitments": [hexs(bad_curve)],
+                "proofs": [hexs(proofs[0])],
+            },
+            "output": None,
+        },
+    )
+
     # sanity: oracle verifies its own vectors
     assert setup.verify_blob_proof(blobs[1], comms[1], proofs[1])
     assert setup.verify_blob_proof_batch(blobs[:2], comms[:2], proofs[:2])
-    print("vectors written to", VECTORS)
+    assert setup.verify_blob_proof(rm1_blob, rm1_comm, rm1_proof)
+    total = sum(
+        1
+        for op in os.listdir(VECTORS)
+        for case in os.listdir(os.path.join(VECTORS, op))
+        if os.path.exists(os.path.join(VECTORS, op, case, "data.yaml"))
+    )
+    print(f"vectors written to {VECTORS} ({total} cases)")
 
 
 if __name__ == "__main__":
