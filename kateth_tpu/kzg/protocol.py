@@ -337,12 +337,18 @@ def verify_blob_batch_fused(
     lhs1 = tuple(c[None] for c in lhs1)
     rhs = tuple(c[None] for c in rhs)
     tau2b = tuple(c[None] for c in tau2)
-    return (
-        (lhs1, tau2b, rhs),
-        ok_blob,
-        (enc_ok[:B], curve_ok[:B], sub_ok[:B]),
-        (enc_ok[B:], curve_ok[B:], sub_ok[B:]),
+    # ONE packed validity plane: each device_get of a separate small array
+    # costs a host round trip (25-50 ms total over remote links for the
+    # seven masks), so they ship as a single (7, B) bool fetch.
+    # Rows: [ok_blob, comm enc/curve/subgroup, proof enc/curve/subgroup].
+    packed = jnp.stack(
+        [
+            ok_blob,
+            enc_ok[:B], curve_ok[:B], sub_ok[:B],
+            enc_ok[B:], curve_ok[B:], sub_ok[B:],
+        ]
     )
+    return ((lhs1, tau2b, rhs), packed)
 
 
 # ---------------------------------------------------------------------------

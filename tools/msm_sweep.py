@@ -91,10 +91,11 @@ def main() -> None:
             "ms": round(dt * 1000, 2),
             "points_per_s": round(n / dt, 1),
         }
-        print(f"# n=2^{log}: {dt*1000:.1f} ms ({n/dt:,.0f} pts/s)", file=sys.stderr)
+        print(f"# n=2^{log}: {dt*1000:.1f} ms ({n/dt:,.0f} pts/s)", file=sys.stderr, flush=True)
+        # incremental write: a timeout mid-sweep still leaves an artifact
+        with open(os.path.join(REPO, "MSM_SWEEP.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
 
-    with open(os.path.join(REPO, "MSM_SWEEP.json"), "w") as fh:
-        json.dump(results, fh, indent=1)
     print(json.dumps(results))
 
 
