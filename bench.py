@@ -207,6 +207,37 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # COMPUTE-ONLY throughput: inputs pre-staged on device, K fused verify
+    # programs chained — the per-chip capability once blobs are resident.
+    # Reported alongside the sustained number because the remote-device
+    # tunnel (~37 MB/s, VERIFY_LATENCY.json) caps sustained throughput at
+    # ~280/s while the chip itself computes far faster.
+    compute_only_per_s = 0.0
+    try:
+        from kateth_tpu.kzg import protocol as _protocol
+
+        _, args = kzg._verify_batch_stage(blobs, cms, proofs)
+        jax.block_until_ready(args)
+        K = streams
+        t0 = time.time()
+        for _ in range(reps):
+            vs = []
+            for _ in range(K):
+                pc_in, _packed = _protocol.verify_blob_batch_fused(*args)
+                vs.append(_protocol.pairing_check(*pc_in))
+            jax.block_until_ready(vs)
+        cdt = (time.time() - t0) / reps
+        compute_only_per_s = K * BATCH / cdt
+        details["verify_compute_only_per_s"] = round(compute_only_per_s, 2)
+        print(
+            f"# compute-only verify: {K}x{BATCH} blobs in {cdt*1000:.1f} ms "
+            f"({compute_only_per_s:.1f}/s)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        details["verify_compute_only_error"] = repr(e)
+        print(f"# compute-only verify failed: {e!r}", file=sys.stderr)
+
     # single-op verify latency (BASELINE config 2): full pairing check on
     # one (commitment, z, y, proof) quadruple.  Runs AFTER the headline
     # batch metric and inside try/except: a bug here must never cost the
@@ -252,6 +283,9 @@ def main() -> None:
     with open(os.path.join(repo, "bench_details.json"), "w") as f:
         json.dump(details, f, indent=1)
 
+    # methodology is IN the metric line: since round 4 the headline is the
+    # STREAMING (pipelined) path, not the single-call latency of rounds
+    # 1-3 — the extra fields keep round-over-round comparisons honest
     print(
         json.dumps(
             {
@@ -259,6 +293,10 @@ def main() -> None:
                 "value": round(per_s, 2),
                 "unit": "proofs/s/chip",
                 "vs_baseline": round(per_s / PER_CHIP_TARGET, 4),
+                "streaming": True,
+                "stream_batches": streams,
+                "batch": BATCH,
+                "compute_only_per_s": round(compute_only_per_s, 2),
             }
         )
     )

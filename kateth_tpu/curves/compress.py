@@ -1,4 +1,4 @@
-"""Batched G1 compression on device.
+"""Batched G1/G2 compression on device.
 
 Replaces the per-point host loop (`oracle.g1_compress` per output point —
 a Python affine conversion + modular inversion each) that round 2 left on
@@ -62,4 +62,47 @@ def points_to_bytes(pt) -> list[bytes]:
     """Batched projective Montgomery points -> list of 48-byte encodings."""
     raw = np.asarray(jax.device_get(g1_compress_planes(pt)))
     raw = raw.reshape(-1, 48)
+    return [raw[i].tobytes() for i in range(raw.shape[0])]
+
+
+@jax.jit
+def g2_compress_planes(p) -> jax.Array:
+    """Projective Montgomery G2 points (tuple of (..., 2, D)) -> (..., 96)
+    uint8 compressed encodings — the device counterpart of the
+    reference's P2 Compress surface (blst_p2_compress, reference
+    src/bls.rs:554-570), closing the last P1/P2 codec asymmetry.
+
+    Zcash rules for Fp2: 96 bytes = x.c1 (48, big-endian, flags in the
+    top bits) || x.c0 (48); the sign flag marks y lexicographically
+    larger than -y with c1 the most significant component (c1 > (p-1)/2,
+    or c1 == 0 and c0 > (p-1)/2)."""
+    from ..fields import fp2
+
+    X, Y, Z = p
+    zinv = fp2.inv(Z)  # identity lanes: Z = 0 -> inv = 0 (norm^(p-2))
+    x = fp2.mul(X, zinv)
+    y = fp2.mul(Y, zinv)
+    x0 = L.from_mont(FP, x[..., 0, :])
+    x1 = L.from_mont(FP, x[..., 1, :])
+    y0 = L.from_mont(FP, y[..., 0, :])
+    y1 = L.from_mont(FP, y[..., 1, :])
+    inf = L.is_zero(Z[..., 0, :]) & L.is_zero(Z[..., 1, :])
+    larger = (_gt_const(y1, _HALF) | (L.is_zero(y1) & _gt_const(y0, _HALF))) & ~inf
+    b1 = L.digits_to_be_bytes(FP, x1)  # (..., 48)
+    b0 = L.digits_to_be_bytes(FP, x0)
+    out = jnp.concatenate([b1, b0], axis=-1)  # (..., 96)
+    out = jnp.where(inf[..., None], jnp.zeros_like(out), out)
+    flags = (
+        jnp.uint8(0x80)
+        + jnp.where(inf, jnp.uint8(0x40), jnp.uint8(0))
+        + jnp.where(larger, jnp.uint8(0x20), jnp.uint8(0))
+    )
+    return out.at[..., 0].add(flags)
+
+
+def g2_points_to_bytes(pt) -> list[bytes]:
+    """Batched projective Montgomery G2 points -> list of 96-byte
+    encodings."""
+    raw = np.asarray(jax.device_get(g2_compress_planes(pt)))
+    raw = raw.reshape(-1, 96)
     return [raw[i].tobytes() for i in range(raw.shape[0])]

@@ -105,6 +105,103 @@ def _chunked_prefix_flat(spec_key_, one_mont, g, pts, interpret=False):
     )(pts)
 
 
+# ---------------------------------------------------------------------------
+# comb fixed-base chain-sum kernel (curves/comb.py's hot loop)
+# ---------------------------------------------------------------------------
+
+#: sequential mixed adds per comb chain (static-unrolled)
+COMB_CHAIN = 32
+
+
+def _make_comb_kernel(D, mod_digits, nprime_digits, one_mont, g):
+    F = FieldVec(D, mod_digits, nprime_digits)
+    G1 = G1Vec(F, one_mont)
+
+    def kernel(x_ref, y_ref, f_ref, o_ref):
+        # x_ref/y_ref: (1, g*D, L) gathered affine coords; f_ref: (1, g, L)
+        # non-identity flags; o_ref: (1, 3*D, L) projective chain totals.
+        like = [x_ref[0, 0, :]]
+        acc = G1.identity(like)
+        for k in range(g):
+            x2 = [x_ref[0, k * D + i, :] for i in range(D)]
+            y2 = [y_ref[0, k * D + i, :] for i in range(D)]
+            fl = f_ref[0, k, :] > 0
+            acc = G1.padd_mixed_flag(acc, x2, y2, fl)
+        for c in range(3):
+            for i in range(D):
+                o_ref[0, c * D + i, :] = acc[c][i]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 5))
+def _comb_chain_sum_flat(spec_key_, one_mont, g, xs, ys, flags, interpret=False):
+    """xs/ys: (1, g*D, L) digit rows; flags: (1, g, L) u32.
+    Returns (1, 3*D, L) projective chain totals."""
+    D = spec_key_[0]
+    L = xs.shape[-1]
+    kernel = _make_comb_kernel(D, spec_key_[1], spec_key_[2], one_mont, g)
+    grid = (L // LANE_TILE,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g * D, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * D, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3 * D, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 3 * D, L), jnp.uint32),
+        interpret=interpret,
+    )(xs, ys, flags)
+
+
+def comb_available(n: int, batch: int, g: int = COMB_CHAIN) -> bool:
+    """Kernel eligibility for the comb chain sum: chains fill whole lane
+    tiles, TPU backend (or interpret mode for CPU tests)."""
+    from ..fields import limbs as L
+
+    if n % g != 0 or (batch * (n // g)) % LANE_TILE != 0:
+        return False
+    if _interpret():
+        return True
+    return jax.default_backend() != "cpu" and not L._NO_PALLAS
+
+
+def comb_chain_sum(xy: jax.Array, flags: jax.Array, g: int = COMB_CHAIN):
+    """Sum each chain of g consecutive gathered table rows.
+
+    xy: (B, N, 2*D) u32 — affine (x digits, y digits) rows; flags: (B, N)
+    u32 non-identity flags.  Returns a projective tuple of (B, N//g, D)
+    chain totals (the short XLA halving tree in comb.py finishes the sum).
+    """
+    from ..fields.specs import FP
+
+    D = FP.n_digits
+    B, N = flags.shape
+    chains = N // g
+    lanes = B * chains
+    # (B, N, 2D) -> (B, chains, g, 2D) -> (g, D, B*chains) per coord
+    r = xy.reshape(B, chains, g, 2 * D)
+    xs = jnp.transpose(r[..., :D], (2, 3, 0, 1)).reshape(1, g * D, lanes)
+    ys = jnp.transpose(r[..., D:], (2, 3, 0, 1)).reshape(1, g * D, lanes)
+    fl = jnp.transpose(
+        flags.reshape(B, chains, g).astype(jnp.uint32), (2, 0, 1)
+    ).reshape(1, g, lanes)
+    out = _comb_chain_sum_flat(
+        spec_key(FP),
+        tuple(int(v) for v in FP.one_mont),
+        g,
+        xs,
+        ys,
+        fl,
+        _interpret(),
+    ).reshape(3, D, B, chains)
+    return tuple(jnp.transpose(out[c], (1, 2, 0)) for c in range(3))
+
+
 def available(F, n: int) -> bool:
     """Kernel path eligibility: G1 over Fp, big enough N, TPU (or
     interpret mode for CPU tests)."""

@@ -385,6 +385,46 @@ class G1Vec:
         Z3 = F.add(n4, n5)
         return (X3, Y3, Z3)
 
+    def padd_mixed_flag(self, p, x2, y2, flag):
+        """Complete addition of an AFFINE-with-flag point: q = (x2, y2, Z2)
+        with Z2 = flag ? 1 : 0 (in Montgomery form), i.e. flag=0 means q is
+        the identity (the caller stores identity rows as (0, 1_mont)).
+
+        This is RCB16 Algorithm 7 specialized to Z2 in {0, 1}: the Z1*Z2
+        product collapses to a lane select, saving one of the 12 field
+        multiplies while staying COMPLETE for every input (identity,
+        doubling, inverse pairs).  The comb fixed-base commitment kernel
+        (curves/comb.py) does all its point work through this."""
+        F = self.F
+        X1, Y1, Z1 = p
+        one = [jnp.where(flag, jnp.full_like(x2[0], o), jnp.zeros_like(x2[0]))
+               for o in self.ONE]  # Z2 as a digit list
+        m0, m1, m3, m4, m5 = self._mul_many(
+            [
+                (X1, x2),
+                (Y1, y2),
+                (F.add(X1, Y1), F.add(x2, y2)),
+                (F.add(Y1, Z1), F.add(y2, one)),
+                (F.add(X1, Z1), F.add(x2, one)),
+            ]
+        )
+        m2 = [jnp.where(flag, z, jnp.zeros_like(z)) for z in Z1]  # Z1*Z2
+        t3 = F.sub(m3, F.add(m0, m1))
+        t4 = F.sub(m4, F.add(m1, m2))
+        ty = F.sub(m5, F.add(m0, m2))
+        t2 = self.mul12(m2)
+        t0 = F.add(F.add(m0, m0), m0)  # 3*m0
+        z3 = F.add(m1, t2)
+        t1 = F.sub(m1, t2)
+        y3 = self.mul12(ty)
+        n0, n1, n2, n3, n4, n5 = self._mul_many(
+            [(t3, t1), (t4, y3), (t1, z3), (y3, t0), (z3, t4), (t0, t3)]
+        )
+        X3 = F.sub(n0, n1)
+        Y3 = F.add(n2, n3)
+        Z3 = F.add(n4, n5)
+        return (X3, Y3, Z3)
+
     def pdouble(self, p):
         F = self.F
         X, Y, Z = p

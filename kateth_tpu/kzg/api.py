@@ -57,6 +57,9 @@ class Kzg:
     def __init__(self, setup: DeviceSetup):
         self.setup = setup
         self.config = setup.config
+        #: lazily built fixed-base comb table (curves/comb.py) — device
+        #: memory is only committed when a commit/prove op first runs
+        self._comb_table = None
 
     def _canon(self, n: int) -> int:
         """Canonical batch shape for a logical batch of n: the next
@@ -165,22 +168,44 @@ class Kzg:
 
     # -- batched core ------------------------------------------------------
 
-    #: blobs per MSM device program.  The batch axis is native to the MSM
-    #: (vmap over it MISCOMPILES on XLA:TPU — all commitments come out
-    #: wrong while each single-blob program is bit-exact; explicit batch
-    #: axes are both correct and amortize dispatch overhead).  With the
-    #: window-scanned MSM (curves/msm.py) the working set is O(chunk * N)
-    #: point lanes — ~300 MB at 64 — so the chunk matches the canonical
-    #: batch quantum and a 64-blob commit is ONE program invocation
-    #: (round 3 was pinned at 8 by the O(chunk * W * N) materialization).
+    #: blobs per commit device program.  The batch axis is native to the
+    #: kernel (vmap over the MSM MISCOMPILES on XLA:TPU — all commitments
+    #: come out wrong while each single-blob program is bit-exact;
+    #: explicit batch axes are both correct and amortize dispatch
+    #: overhead).  The comb path's per-column working set is
+    #: O(chunk * N) gathered table rows (~50 MB at 64), the windowed
+    #: fallback's is O(chunk * N) point lanes (~300 MB), so the chunk
+    #: matches the canonical batch quantum and a 64-blob commit is ONE
+    #: program invocation.
     commit_chunk = 64
+
+    def _use_comb(self) -> bool:
+        import os
+
+        return self.config.comb_h > 0 and os.environ.get("KATETH_NO_COMB") != "1"
+
+    def _commit_one(self, chunk: jax.Array):
+        """One canonical-shape commit program: the fixed-base comb path
+        (curves/comb.py) by default, the windowed Pippenger as the
+        kill-switch fallback (KATETH_NO_COMB=1 / comb_h=0)."""
+        if self._use_comb():
+            if self._comb_table is None:
+                from ..curves import comb, ops
+
+                self._comb_table = comb.build_table(
+                    ops.FP_FIELD, self.setup.g1_points, self.config.comb_h
+                )
+            return protocol.commit_comb(
+                self._comb_table, chunk, self.config.comb_h, self.config.n
+            )
+        return protocol.commit_msm(
+            self.setup.g1_points, chunk, self.config.msm_window
+        )
 
     def _commit_elements(self, elements_plain: jax.Array):
         B = elements_plain.shape[0]
         if B <= self.commit_chunk:
-            return protocol.commit_msm(
-                self.setup.g1_points, elements_plain, self.config.msm_window
-            )
+            return self._commit_one(elements_plain)
         outs = []
         for i in range(0, B, self.commit_chunk):
             chunk = elements_plain[i : i + self.commit_chunk]
@@ -190,9 +215,7 @@ class Kzg:
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((pad, *chunk.shape[1:]), chunk.dtype)], axis=0
                 )
-            out = protocol.commit_msm(
-                self.setup.g1_points, chunk, self.config.msm_window
-            )
+            out = self._commit_one(chunk)
             outs.append(tuple(c[: self.commit_chunk - pad] for c in out))
         return tuple(jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3))
 
@@ -300,10 +323,14 @@ class Kzg:
         distributed variant rides parallel.ntt.sharded_ntt_from_brp."""
         from .. import ntt
 
-        elements, ok = self._decode_blobs(blobs)
-        self._check_ok(ok)
+        n = len(blobs)
+        # canonical batch shape like every other batched op: zero-blob pad
+        # lanes keep the NTT graph compiling for one fixed shape per
+        # quantum instead of once per caller batch size
+        elements, ok = self._decode_blobs(blobs, pad_to=self._canon(n))
+        self._check_ok(ok[:n])
         cm = ntt.lagrange_brp_to_monomial(protocol.fr_to_mont(elements))
-        return self._fr_planes_to_byteslists(protocol.fr_from_mont(cm))
+        return self._fr_planes_to_byteslists(protocol.fr_from_mont(cm))[:n]
 
     def coefficients_to_blobs(self, coeffs) -> list[bytes]:
         """Monomial coefficients (per-blob lists of 32-byte BE scalars,
@@ -316,11 +343,13 @@ class Kzg:
             if len(cs) != n:
                 raise KzgError("invalid coefficient count")
         joined = [b"".join(bytes(c) for c in cs) for cs in coeffs]
-        elements, ok = self._decode_blobs(joined)  # same canonicality rules
-        self._check_ok(ok)
+        nb = len(joined)
+        # same canonicality rules as blobs; canonical batch shape as above
+        elements, ok = self._decode_blobs(joined, pad_to=self._canon(nb))
+        self._check_ok(ok[:nb])
         ev = ntt.monomial_to_lagrange_brp(protocol.fr_to_mont(elements))
         lists = self._fr_planes_to_byteslists(protocol.fr_from_mont(ev))
-        return [b"".join(cs) for cs in lists]
+        return [b"".join(cs) for cs in lists[:nb]]
 
     def verify_kzg_proof(self, proof: bytes, commitment: bytes, z: bytes, y: bytes) -> bool:
         """Single-point verification (reference setup.rs:96-113).
@@ -364,7 +393,7 @@ class Kzg:
     def verify_blob_kzg_proof_batches(self, batches) -> list[bool]:
         """STREAMING batch verification: `batches` is an iterable of
         (blobs, commitments, proofs) triples; returns one verdict per
-        batch (raising on the first invalid input, like the scalar op).
+        batch.
 
         All device programs are dispatched before any result is awaited,
         so the host->device transfer of batch k+1 overlaps the device
@@ -375,18 +404,80 @@ class Kzg:
         proofs/s.  This is the serving-shaped entry point with no
         reference counterpart (the reference is single-threaded,
         setup.rs:247).
+
+        Error semantics are SEQUENTIAL-EQUIVALENT: if any batch holds an
+        invalid input, the KzgError raised is the one a loop of
+        `verify_blob_kzg_proof_batch` calls would raise — the error of
+        the EARLIEST bad batch, whether it is detected host-side at
+        dispatch (lengths) or device-side at finalize (canonicality /
+        point validity) — and no verdicts are returned.  Pipelining never
+        reorders which error callers observe.
         """
-        pendings = [self._verify_batch_dispatch(b, c, p) for (b, c, p) in batches]
-        return [self._verify_batch_finalize(p) for p in pendings]
+        # Dispatch everything first (the pipelining), but capture a
+        # host-side error so an early batch's device-side error can still
+        # win the ordering race at finalize time.
+        pendings = []
+        dispatch_error: KzgError | None = None
+        for (b, c, p) in batches:
+            try:
+                pendings.append(self._verify_batch_dispatch(b, c, p))
+            except KzgError as e:
+                dispatch_error = e
+                break
+        # Finalize in batch order: the first device-side KzgError (from a
+        # batch BEFORE the dispatch failure) raises here, preserving the
+        # sequential order of errors.
+        verdicts = [self._verify_batch_finalize(p) for p in pendings]
+        if dispatch_error is not None:
+            raise dispatch_error
+        return verdicts
+
+    def _rlc_challenge(self, z_digests, joined_comms, joined_proofs, n: int) -> int:
+        """SECURITY-RELEVANT Fiat-Shamir: the batch RLC challenge r.
+
+        Binds ALL inputs (blobs, commitments, proofs), like
+        c-kzg/EIP-4844 compute_r_powers.  Deliberate divergence from the
+        reference, which hashes only the domain + sizes
+        (setup.rs:127-136): with predictable weights an attacker can
+        craft two invalid triples whose pairing errors cancel, making the
+        batch check pass where per-item verification fails.  The blobs
+        enter through the per-blob challenge DIGESTS
+        z_i = H(domain || blob_i || comm_i) rather than a second full
+        pass over the raw bytes — the digests are fixed-width so the
+        concatenation is injective, SHA-256 collision resistance
+        composes, and it saves an 8.4 MB SHA-256 pass (~19 ms/batch) on
+        the hot path.  Honest-path booleans and the spec vectors are
+        unaffected.  tests/test_kzg_api.py pins the blob binding (two
+        batches differing only in one blob byte must draw different r).
+        """
+        return _hash_to_fr(
+            RC_DOMAIN
+            + self.config.n.to_bytes(16, "big")
+            + n.to_bytes(16, "big")
+            + b"".join(z_digests)
+            + joined_comms
+            + joined_proofs
+        )
 
     def _verify_batch_dispatch(self, blobs, commitments, proofs):
         """Host prefix + async device dispatch; returns (n, verdict_dev,
         packed_masks_dev) or n == 0 sentinel without touching the device."""
+        n, args = self._verify_batch_stage(blobs, commitments, proofs)
+        if n == 0:
+            return (0, None, None)
+        pc_in, packed = protocol.verify_blob_batch_fused(*args)
+        verdict = protocol.pairing_check(*pc_in)[0]
+        return (n, verdict, packed)
+
+    def _verify_batch_stage(self, blobs, commitments, proofs):
+        """Host prefix of batch verification: validation, Fiat-Shamir,
+        padded device transfers.  Returns (n, fused-graph args) — the
+        compute-only bench (bench.py) stages once and re-dispatches."""
         if not (len(blobs) == len(commitments) == len(proofs)):
             raise KzgError("length mismatch")
         n = len(blobs)
         if n == 0:
-            return (0, None, None)
+            return (0, None)
         nbytes = self.config.bytes_per_blob
         for b in blobs:
             if len(b) != nbytes:
@@ -425,41 +516,24 @@ class Kzg:
 
         z_digests = self._challenge_digests(joined_blobs, joined_comms, n)
         z_vals = [int.from_bytes(d, "big") % FR_MOD for d in z_digests]
-        # The RLC challenge binds ALL inputs (blobs, commitments, proofs),
-        # like c-kzg/EIP-4844 compute_r_powers.  Deliberate divergence from
-        # the reference, which hashes only the domain + sizes
-        # (setup.rs:127-136): with predictable weights an attacker can
-        # craft two invalid triples whose pairing errors cancel, making the
-        # batch check pass where per-item verification fails.  The blobs
-        # enter through the per-blob challenge DIGESTS z_i = H(domain ||
-        # blob_i || comm_i) rather than a second full pass over the raw
-        # bytes — collision resistance composes, and it saves an 8.4 MB
-        # SHA-256 pass (~19 ms/batch) on the hot path.  Honest-path
-        # booleans and the spec vectors are unaffected.
-        r = _hash_to_fr(
-            RC_DOMAIN
-            + self.config.n.to_bytes(16, "big")
-            + n.to_bytes(16, "big")
-            + b"".join(z_digests)
-            + joined_comms
-            + joined_proofs
-        )
+        r = self._rlc_challenge(z_digests, joined_comms, joined_proofs, n)
         weights = [pow(r, i, FR_MOD) for i in range(n)] + [0] * pad
         z_vals = z_vals + [0] * pad
         zw = [w * z % FR_MOD for w, z in zip(weights, z_vals)]
 
-        pc_in, packed = protocol.verify_blob_batch_fused(
-            blob_arr,
-            comm_arr,
-            proof_arr,
-            self._fr_planes(z_vals),
-            self._fr_planes(zw),
-            self._fr_planes(weights),
-            self.setup.roots,
-            self.setup.tau2,
+        return (
+            n,
+            (
+                blob_arr,
+                comm_arr,
+                proof_arr,
+                self._fr_planes(z_vals),
+                self._fr_planes(zw),
+                self._fr_planes(weights),
+                self.setup.roots,
+                self.setup.tau2,
+            ),
         )
-        verdict = protocol.pairing_check(*pc_in)[0]
-        return (n, verdict, packed)
 
     def _verify_batch_finalize(self, pending) -> bool:
         n, verdict_dev, packed_dev = pending

@@ -20,13 +20,21 @@ class KzgConfig:
     #: number of G2 monomial points in the setup (only [tau]_2 is used at
     #: runtime, reference setup.rs:91,158)
     g2_len: int = 65
-    #: Pippenger window size in bits for the commitment/proof MSM
+    #: Pippenger window size in bits for the generic (arbitrary-point) MSM
     msm_window: int = 8
+    #: comb width h for the FIXED-BASE commitment path (curves/comb.py):
+    #: 2^h precomputed combinations per setup point (h=12 at mainnet =
+    #: 3.2 GB of HBM table, ~5x fewer point adds than the windowed MSM).
+    #: 0 disables the comb (falls back to the windowed MSM); the
+    #: KATETH_NO_COMB=1 env var is the runtime kill-switch.
+    comb_h: int = 12
     #: canonical batch quantum: every batched op pads its batch up to a
     #: multiple of this, so the heavy fused graphs compile for a FIXED
     #: set of shapes (64, 128, ...) instead of once per caller batch size
-    #: — each distinct shape is a multi-minute XLA compile on TPU.  Tiny
-    #: test configs use a smaller quantum to keep CPU compiles cheap.
+    #: — each distinct shape is a multi-minute XLA compile on TPU.  The
+    #: CPU test configs keep the default 64 on purpose: their graphs are
+    #: tiny (n=8) and the persistent compile cache is keyed on the padded
+    #: shape, so one 64-lane graph serves every caller batch size.
     canon_batch: int = 64
 
     def __post_init__(self):

@@ -166,6 +166,18 @@ def commit_msm(g1_points, scalars_plain, window: int = 8):
     return msm_mod.msm(F1, g1_points, scalars_plain, c=window)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def commit_comb(table, scalars_plain, h: int, n: int):
+    """Batched FIXED-BASE comb commitment (curves/comb.py): (B, N, 16)
+    plain scalars against the precomputed (N * 2^h, 48) comb row table ->
+    batched projective G1 points.  The round-5 commit hot path; the
+    windowed commit_msm above remains the arbitrary-point / kill-switch
+    fallback.  (reference blob.rs:48-53 / poly.rs:68 -> bls.rs:415-437)."""
+    from ..curves import comb
+
+    return comb.commit(F1, table, scalars_plain, h, n)
+
+
 # ---------------------------------------------------------------------------
 # verification
 # ---------------------------------------------------------------------------

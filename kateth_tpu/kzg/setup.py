@@ -6,9 +6,12 @@ bit-reversal permutation to the G1 Lagrange points and the roots of unity,
 keep [tau]_2 for the pairing check.
 
 TPU-native differences:
-* Decompression (one-time, sqrt-heavy) runs on the host via the oracle; the
-  result is cached as an .npz of digit planes so subsequent loads are
-  instant (the reference re-decompresses all 4161 points every startup).
+* Decompression of all 4161 setup points runs ON DEVICE as the batched
+  G1/G2 decompression kernels (curves/decompress.py, `_load_json_device`
+  below) with curve + subgroup checks folded in; the result is cached as
+  an .npz of digit planes so subsequent loads are instant (the reference
+  re-decompresses every startup).  The pure-host oracle path remains as
+  the cross-check in tests/test_setup_relation.py.
 * Tables live as device arrays in Montgomery form: projective G1 planes
   (N, 24) x 3, the single [tau]_2 point, roots and inverse roots (N, 16).
 """

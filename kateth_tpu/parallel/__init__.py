@@ -7,6 +7,12 @@ with ICI reductions, and data-parallel blob batching.
 """
 
 from .mesh import make_mesh, local_mesh
-from .msm import sharded_msm, sharded_commit
+from .msm import sharded_msm, sharded_commit, sharded_commit_comb
 
-__all__ = ["make_mesh", "local_mesh", "sharded_msm", "sharded_commit"]
+__all__ = [
+    "make_mesh",
+    "local_mesh",
+    "sharded_msm",
+    "sharded_commit",
+    "sharded_commit_comb",
+]

@@ -96,3 +96,28 @@ def sharded_commit(mesh, points, scalars_batch, window: int = 8):
     by mesh size.  Returns batched points, batch-sharded.
     """
     return _sharded_commit_prog(mesh, window)(points, scalars_batch)
+
+
+@lru_cache(maxsize=None)
+def _sharded_commit_comb_prog(mesh, h: int, n: int):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+    )
+    def run(table, scal):
+        from ..curves import comb
+
+        return comb.commit(F1, table, scal, h, n)
+
+    return jax.jit(run, static_argnums=())
+
+
+def sharded_commit_comb(mesh, table, scalars_batch, h: int):
+    """Batched FIXED-BASE comb commitments (curves/comb.py), batch axis
+    sharded with the comb row table replicated — the DP layout of the
+    round-5 commit hot path.  scalars_batch: (B, N, 16) plain, B
+    divisible by mesh size.  Returns batched points, batch-sharded."""
+    n = scalars_batch.shape[-2]
+    return _sharded_commit_comb_prog(mesh, h, n)(table, scalars_batch)

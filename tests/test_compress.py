@@ -1,4 +1,5 @@
-"""Batched device G1 compression vs the oracle (flags, infinity, sign bit)."""
+"""Batched device G1/G2 compression vs the oracle (flags, infinity, sign
+bit, lexicographic Fp2 ordering)."""
 
 import random
 
@@ -49,3 +50,39 @@ def test_compress_unnormalized_projective():
     lam_m = jnp.asarray(np.stack([FP.from_int(lam)]))
     scaled = tuple(L.mont_mul(FP, c, lam_m) for c in dp)
     assert compress.points_to_bytes(scaled) == [oc.g1_compress(p)]
+
+
+# -- G2 (reference blst_p2_compress surface, bls.rs:554-570) -------------
+
+
+def _dev_g2_compress(pts):
+    from kateth_tpu.curves import g2 as g2mod
+
+    dp = tuple(jnp.asarray(c) for c in g2mod.from_oracle(pts))
+    return compress.g2_points_to_bytes(dp)
+
+
+def test_g2_compress_matches_oracle():
+    pts = [oc.g2_mul(oc.G2_GEN, rng.randrange(1, of.R)) for _ in range(8)]
+    pts.append(oc.g2_infinity())
+    got = _dev_g2_compress(pts)
+    want = [oc.g2_compress(p) for p in pts]
+    assert got == want
+
+
+def test_g2_compress_sign_bit_both_ways():
+    p = oc.g2_mul(oc.G2_GEN, 0xFEEDFACE)
+    pn = oc.g2_neg(p)
+    got = _dev_g2_compress([p, pn])
+    assert got[0] == oc.g2_compress(p)
+    assert got[1] == oc.g2_compress(pn)
+    assert (got[0][0] ^ got[1][0]) == 0x20
+    assert got[0][1:] == got[1][1:]
+
+
+def test_g2_compress_setup_roundtrip(oracle_setup):
+    """The 65 mainnet G2 monomial points: device compression reproduces
+    the ceremony's own encodings byte-for-byte."""
+    got = _dev_g2_compress(oracle_setup.g2_monomial)
+    want = [oc.g2_compress(p) for p in oracle_setup.g2_monomial]
+    assert got == want

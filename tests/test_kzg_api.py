@@ -120,6 +120,71 @@ class TestErrors:
             kzg.verify_blob_kzg_proof_batch([rand_blob()], [], [])
 
 
+def test_verify_batches_streaming(kzg):
+    """The streaming entry point (the bench headline path,
+    api.py verify_blob_kzg_proof_batches): multi-batch verdicts, empty
+    stream, empty batch inside the stream, honest False mid-stream."""
+    blobs = [rand_blob() for _ in range(3)]
+    cms = kzg.blobs_to_kzg_commitments(blobs)
+    proofs = kzg.compute_blob_kzg_proofs(blobs, cms)
+    batches = [
+        (blobs, cms, proofs),
+        ([], [], []),  # empty batch inside the stream
+        (blobs[:1], cms[:1], proofs[:1]),
+        (blobs, cms, [proofs[1], proofs[0], proofs[2]]),  # honest False
+    ]
+    assert kzg.verify_blob_kzg_proof_batches(batches) == [True, True, True, False]
+    assert kzg.verify_blob_kzg_proof_batches([]) == []
+    assert kzg.verify_blob_kzg_proof_batches(iter(batches[:1])) == [True]
+
+
+def test_verify_batches_error_ordering(kzg):
+    """Sequential-equivalent error semantics: the earliest bad batch's
+    KzgError is raised, whether detected at dispatch or finalize."""
+    blobs = [rand_blob()]
+    cms = kzg.blobs_to_kzg_commitments(blobs)
+    proofs = kzg.compute_blob_kzg_proofs(blobs, cms)
+    bad = bytearray(blobs[0])
+    bad[0:32] = b"\xff" * 32  # non-canonical element: DEVICE-side error
+
+    # device-side error in batch 0 wins over host-side error in batch 1
+    with pytest.raises(KzgError, match="non-canonical"):
+        kzg.verify_blob_kzg_proof_batches(
+            [([bytes(bad)], cms, proofs), (blobs, [], [])]
+        )
+    # host-side error in batch 0 raises even with valid batches after it
+    with pytest.raises(KzgError, match="length mismatch"):
+        kzg.verify_blob_kzg_proof_batches([(blobs, [], []), (blobs, cms, proofs)])
+    # valid batch 0, device-side error in batch 1
+    with pytest.raises(KzgError, match="non-canonical"):
+        kzg.verify_blob_kzg_proof_batches(
+            [(blobs, cms, proofs), ([bytes(bad)], cms, proofs)]
+        )
+
+
+def test_rlc_challenge_binds_all_inputs(kzg):
+    """SECURITY pin (see Kzg._rlc_challenge): the batch RLC challenge r
+    must change when ANY input changes — blobs bind through the per-blob
+    challenge digests, so accidental removal of the digest term would
+    fail the first assertion."""
+    blob = rand_blob()
+    cm = kzg.blob_to_kzg_commitment(blob)
+    proof = kzg.compute_blob_kzg_proof(blob, cm)
+
+    def r_for(b, c, p):
+        jb, jc, jp = bytes(b), bytes(c), bytes(p)
+        zd = kzg._challenge_digests(jb, jc, 1)
+        return kzg._rlc_challenge(zd, jc, jp, 1)
+
+    base = r_for(blob, cm, proof)
+    flipped = bytearray(blob)
+    flipped[40] ^= 1
+    assert r_for(bytes(flipped), cm, proof) != base  # blob binds (via digest)
+    other = kzg.blob_to_kzg_commitment(rand_blob())
+    assert r_for(blob, other, proof) != base  # commitment binds
+    assert r_for(blob, cm, other) != base  # proof binds
+
+
 def test_coefficients_roundtrip_and_horner(kzg, osetup):
     """blobs_to_coefficients inverts coefficients_to_blobs, and the
     monomial coefficients really are the polynomial: Horner evaluation at

@@ -16,7 +16,12 @@ from kateth_tpu.curves import g1, msm, ops
 from kateth_tpu.fields.specs import FR
 from kateth_tpu.oracle import curve as oc
 from kateth_tpu.oracle import field as of
-from kateth_tpu.parallel import make_mesh, sharded_msm, sharded_commit
+from kateth_tpu.parallel import (
+    make_mesh,
+    sharded_msm,
+    sharded_commit,
+    sharded_commit_comb,
+)
 
 rng = random.Random(0x6D657368)
 
@@ -50,6 +55,29 @@ def test_sharded_commit_matches_oracle(data):
     # pad batch to mesh size
     batch8 = jnp.concatenate([batch] * 4, axis=0)
     out = sharded_commit(mesh, dev_pts, batch8, window=WINDOW)
+    got = g1.to_oracle(tuple(np.asarray(c) for c in out))
+    expect0 = oc.g1_msm(pts, ks)
+    expect1 = oc.g1_msm(pts, ks[::-1])
+    for i in range(8):
+        assert oc.g1_eq(got[i], expect0 if i % 2 == 0 else expect1)
+
+
+def test_sharded_commit_comb_matches_oracle(data):
+    """DP comb commit (table replicated, batch sharded) — bit-identical
+    to the single-device comb and correct vs the oracle."""
+    from kateth_tpu.curves import comb
+
+    pts, ks, dev_pts, scal = data
+    H = 4
+    table = comb.build_table(F, dev_pts, H)
+    mesh = make_mesh(jax.devices()[:8])
+    batch = jnp.stack([scal, scal[::-1]])
+    batch8 = jnp.concatenate([batch] * 4, axis=0)
+    out = sharded_commit_comb(mesh, table, batch8, H)
+    single = comb.commit(F, table, batch8, H, N)
+    assert all(
+        (np.asarray(a) == np.asarray(b)).all() for a, b in zip(out, single)
+    ), "sharded comb commit != single-device comb commit (bitwise)"
     got = g1.to_oracle(tuple(np.asarray(c) for c in out))
     expect0 = oc.g1_msm(pts, ks)
     expect1 = oc.g1_msm(pts, ks[::-1])

@@ -8,8 +8,9 @@ the device pipeline; `output: null` cases must raise KzgError, the rest
 must match byte-exactly (or boolean-exactly).
 
 Thanks to the canonical batch shapes in kzg/api.py, the whole suite
-compiles only a handful of fused graphs (batch 8 everywhere + the
-single-point verify graph), so one run fits the TPU compile budget.
+compiles only a handful of fused graphs (every batched op pads to the
+canon_batch quantum — 64 lanes at mainnet — plus the single-point verify
+graph), so one run fits the TPU compile budget.
 
 Usage: python tools/spec_run.py            # current backend (TPU)
        KATETH_SPEC_CPU=1 python tools/spec_run.py   # CPU (slow compiles)

@@ -1,6 +1,19 @@
 """Attribute the verify_blob_kzg_proof_batch wall time stage by stage on
 the real TPU — explains the gap between profiler-style calls (pre-staged
-device arrays, ~100 ms) and the public API (~700 ms at batch 64).
+device arrays, ~50 ms) and the public API, and records the numbers the
+round-4 verdict asked for in-tree:
+
+* per-stage latency of one API call (host prefix, transfer, dispatch,
+  device compute, result sync),
+* host->device tunnel bandwidth at the verify batch size (the sustained-
+  throughput wall: ~8.4 MB of blob bytes per 64-blob batch),
+* COMPUTE-ONLY throughput: all inputs pre-staged on device, K fused
+  verify programs timed back-to-back — the per-chip capability once
+  blobs are resident,
+* sustained STREAMING throughput at several pipeline depths.
+
+Writes VERIFY_LATENCY.json at the repo root (the committed artifact of
+record; the round-4 version lived only in .cache/).
 
 Uses generator points as commitments/proofs (verdict False, identical
 cost) so only the fused verify + pairing graphs compile — no prove path.
@@ -98,22 +111,67 @@ def main() -> None:
         )
         print(f"# --- rep {rep} total {sum(out.values()):.0f} ms ---", file=sys.stderr, flush=True)
 
-    # profiler-style: everything pre-staged, one chained call
-    args = (blob_arr, comm_arr, proof_arr, *planes, kzg.setup.roots, kzg.setup.tau2)
-    for _ in range(2):
+    # --- tunnel bandwidth at the verify payload size ------------------------
+    nbytes = kzg.config.bytes_per_blob
+    payload = np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint8)
+    jax.block_until_ready(jnp.asarray(payload))  # warm the path
+    bw = []
+    for _ in range(3):
         t = time.time()
-        pc_in2 = protocol.verify_blob_batch_fused(*args)[0]
-        v = protocol.pairing_check(*pc_in2)
-        jax.block_until_ready(v)
-        print(f"# prestaged_e2e: {(time.time()-t)*1000:.1f} ms", file=sys.stderr, flush=True)
+        jax.block_until_ready(jnp.asarray(payload))
+        bw.append(time.time() - t)
+    mb = payload.nbytes / 2**20
+    out["tunnel_h2d_mb"] = round(mb, 2)
+    out["tunnel_h2d_ms"] = round(min(bw) * 1000, 1)
+    out["tunnel_h2d_mb_s"] = round(mb / min(bw), 1)
+    print(
+        f"# tunnel h2d: {mb:.1f} MB in {min(bw)*1000:.0f} ms "
+        f"({mb/min(bw):.1f} MB/s)",
+        file=sys.stderr,
+        flush=True,
+    )
 
-    # full API call, timed
+    # --- COMPUTE-ONLY: everything pre-staged, K fused programs chained ------
+    args = (blob_arr, comm_arr, proof_arr, *planes, kzg.setup.roots, kzg.setup.tau2)
+    for rep in range(3):
+        K = 6
+        t = time.time()
+        vs = []
+        for _ in range(K):
+            pc_in2, _packed = protocol.verify_blob_batch_fused(*args)
+            vs.append(protocol.pairing_check(*pc_in2))
+        jax.block_until_ready(vs)
+        dt = time.time() - t
+        out["compute_only_ms_per_batch"] = round(dt / K * 1000, 1)
+        out["compute_only_per_s"] = round(K * B / dt, 1)
+        print(
+            f"# compute-only: {K}x{B} blobs in {dt*1000:.1f} ms "
+            f"({K*B/dt:.0f}/s)",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    # --- full API call + streaming depths -----------------------------------
     for _ in range(3):
         t = time.time()
         kzg.verify_blob_kzg_proof_batch(blobs, cms, proofs)
-        print(f"# api_e2e: {(time.time()-t)*1000:.1f} ms", file=sys.stderr, flush=True)
+        ms = (time.time() - t) * 1000
+        out["api_e2e_ms"] = round(ms, 1)
+        print(f"# api_e2e: {ms:.1f} ms", file=sys.stderr, flush=True)
+    for streams in (2, 4, 8, 12):
+        batches = [(blobs, cms, proofs)] * streams
+        kzg.verify_blob_kzg_proof_batches(batches)  # warm
+        t = time.time()
+        kzg.verify_blob_kzg_proof_batches(batches)
+        dt = time.time() - t
+        out[f"stream_{streams}_per_s"] = round(streams * B / dt, 1)
+        print(
+            f"# streaming x{streams}: {streams*B/dt:.1f}/s ({dt*1000:.0f} ms)",
+            file=sys.stderr,
+            flush=True,
+        )
 
-    with open(os.path.join(REPO, ".cache", "verify_latency.json"), "w") as f:
+    with open(os.path.join(REPO, "VERIFY_LATENCY.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
