@@ -321,7 +321,8 @@ def launch() -> int:
         # kernels; last rung is pure XLA
         attempts = [
             ({}, "full-pallas"),
-            ({"KATETH_NO_PALLAS_PAIRING": "1"}, "no-pairing-kernels"),
+            ({"KATETH_NO_COMB": "1"}, "no-comb"),
+            ({"KATETH_NO_PALLAS_PAIRING": "1", "KATETH_NO_COMB": "1"}, "no-pairing-kernels"),
             ({"KATETH_NO_PALLAS": "1"}, "xla-only"),
         ]
 

@@ -134,7 +134,7 @@ def _make_comb_kernel(D, mod_digits, nprime_digits, one_mont, g):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 5))
+@partial(jax.jit, static_argnums=(0, 1, 2, 6))
 def _comb_chain_sum_flat(spec_key_, one_mont, g, xs, ys, flags, interpret=False):
     """xs/ys: (1, g*D, L) digit rows; flags: (1, g, L) u32.
     Returns (1, 3*D, L) projective chain totals."""

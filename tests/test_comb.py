@@ -136,9 +136,16 @@ def test_api_commit_uses_comb(osetup):
 )
 def test_chain_sum_kernel_matches_xla(monkeypatch):
     """The Pallas comb chain-sum kernel (interpret mode) against the XLA
-    fallback, including identity flags and repeated points."""
+    fallback, including identity flags and repeated points.
+
+    Runs the kernel at chain length g=8: the per-step mixed-add math and
+    the (k, digit) row layout are parametric in g, and the g=32
+    production instantiation's interpret-mode compile exceeds this 1-core
+    box's budget (>50 min).  The g=32 body is validated bit-exact against
+    the host oracle on real TPU hardware by tools/comb_check.py."""
     monkeypatch.setenv("KATETH_PALLAS_INTERPRET", "1")
-    n, B = 64, 256  # lanes = B * n/g = 512 = one tile
+    g = 8
+    n, B = 64, 64  # lanes = B * n/g = 512 = one tile
     base = [oc.g1_mul(oc.G1_GEN, rng.randrange(1, of.R)) for _ in range(8)]
     aff = [oc.g1_to_affine(p) for p in (base * 8)[:n]]
     rows_one = np.stack(
@@ -152,8 +159,8 @@ def test_chain_sum_kernel_matches_xla(monkeypatch):
     flags_np[:, 0] = 0  # guaranteed identity lanes
     flags = jnp.asarray(flags_np)
 
-    assert pallas_msm.comb_available(n, B)
-    chains = pallas_msm.comb_chain_sum(rows, flags)
+    assert pallas_msm.comb_available(n, B, g)
+    chains = pallas_msm.comb_chain_sum(rows, flags, g)
     got = comb._sum_halving(F1, chains, axis=1)
     want = comb._chain_sum_xla(F1, rows, flags)
     same = np.asarray(ops.peq(F1, got, want))

@@ -143,8 +143,15 @@ def main() -> None:
     bench("pairing_check", lambda: protocol.pairing_check(*pc_in))
     bench("verify_end_to_end", lambda: protocol.pairing_check(*ver_j(*ver_args)[0]))
 
-    # commit MSM
-    bench("commit_msm_chunk8", lambda: kzg._commit_elements(elements[:8]))
+    # commit path: the comb fixed-base commit (the default since round 5)
+    # over the full canonical batch, plus the windowed-MSM fallback at
+    # chunk 8 for comparison
+    bench("commit_comb_batch", lambda: kzg._commit_elements(elements))
+    os.environ["KATETH_NO_COMB"] = "1"
+    try:
+        bench("commit_msm_chunk8", lambda: kzg._commit_elements(elements[:8]))
+    finally:
+        del os.environ["KATETH_NO_COMB"]
 
     with open(os.path.join(REPO, "PROFILE.json"), "w") as fh:
         json.dump({"n": N, "batch": BATCH, "ms": results}, fh, indent=1)
