@@ -137,12 +137,19 @@ def _build_chunk(F: CurveField, pts, h: int, d: int):
     # identity rows (j = 0): (0, 1_mont) with the flag supplied at commit
     x = jnp.where(z_zero[..., None], jnp.zeros_like(x), x)
     y = jnp.where(z_zero[..., None], one, y)
-    rows = jnp.concatenate([x, y], axis=-1).reshape(C * (1 << h), 2 * FP.n_digits)
-    return rows, z_zero
+    D = FP.n_digits
+    return x.reshape(C * (1 << h), D), y.reshape(C * (1 << h), D), z_zero
 
 
-def build_table(F: CurveField, points, h: int, chunk: int = 512) -> jax.Array:
-    """(N * 2^h, 2D) packed affine comb rows for the whole setup table.
+def build_table(F: CurveField, points, h: int, chunk: int = 512):
+    """Affine comb rows for the whole setup table: a ((N * 2^h, D) x,
+    (N * 2^h, D) y) PAIR of arrays.
+
+    The x/y planes are SEPARATE arrays on purpose: the packed (rows, 2D)
+    form at mainnet h=12 is a single 3.2 GB buffer, past the ~2^31-byte
+    range where XLA:TPU row gathers silently mis-address (observed on
+    v5e: 15/16 random rows of the packed table read back wrong while the
+    same graph is bit-exact on CPU); two 1.6 GB planes gather correctly.
 
     Chunked over points to bound peak memory (the projective intermediate
     is 3x the output).  Raises if any j != 0 entry is the identity (see
@@ -152,15 +159,18 @@ def build_table(F: CurveField, points, h: int, chunk: int = 512) -> jax.Array:
     d = comb_dims(h)
     N = int(points[0].shape[0])
     chunk = min(chunk, N)
-    out = []
+    xs, ys = [], []
     for s in range(0, N, chunk):
         pts = tuple(c[s : s + chunk] for c in points)
-        rows, z_zero = _build_chunk(F, pts, h, d)
+        x, y, z_zero = _build_chunk(F, pts, h, d)
         bad = np.asarray(z_zero)[:, 1:]
         if bad.any():
             raise KzgError("comb table entry is the identity (invalid setup)")
-        out.append(rows)
-    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+        xs.append(x)
+        ys.append(y)
+    if len(xs) == 1:
+        return xs[0], ys[0]
+    return jnp.concatenate(xs, axis=0), jnp.concatenate(ys, axis=0)
 
 
 def _sum_halving(F: CurveField, p, axis: int):
@@ -178,13 +188,10 @@ def _sum_halving(F: CurveField, p, axis: int):
     return tuple(jnp.squeeze(c, axis=axis) for c in p)
 
 
-def _chain_sum_xla(F: CurveField, xy: jax.Array, flags: jax.Array):
+def _chain_sum_xla(F: CurveField, x: jax.Array, y: jax.Array, flags: jax.Array):
     """Portable chain-sum fallback: reconstruct (x, y, flag?1:0) as
     projective lanes and halving-tree the whole N axis (returns the FULL
     sum per batch lane, chains axis already folded)."""
-    D = FP.n_digits
-    x = xy[..., :D]
-    y = xy[..., D:]
     fl = flags[..., None].astype(bool)
     one = jnp.broadcast_to(jnp.asarray(FP.one_mont, dtype=jnp.uint32), x.shape)
     z = jnp.where(fl, one, jnp.zeros_like(x))
@@ -204,19 +211,20 @@ def _chain_sum_xla(F: CurveField, xy: jax.Array, flags: jax.Array):
 
 def commit(
     F: CurveField,
-    table: jax.Array,
+    table,
     scalar_digits: jax.Array,
     h: int,
     n: int,
 ):
     """Batched fixed-base commitment: sum_i scalars[..., i] * P_i.
 
-    table: (n * 2^h, 2D) packed rows from build_table; scalar_digits:
-    PLAIN Fr digit planes (*batch, n, 16).  Returns a projective tuple
-    (*batch, D) per coordinate.
+    table: the ((n * 2^h, D) x, y) plane pair from build_table;
+    scalar_digits: PLAIN Fr digit planes (*batch, n, 16).  Returns a
+    projective tuple (*batch, D) per coordinate.
     """
     from . import pallas_msm
 
+    table_x, table_y = table
     d = comb_dims(h)
     batch = scalar_digits.shape[:-2]
     B = 1
@@ -230,13 +238,15 @@ def commit(
     g = pallas_msm.COMB_CHAIN
 
     def body(acc, col):
-        rows = jnp.take(table, (col + base).astype(jnp.int32), axis=0)
+        idx = (col + base).astype(jnp.int32)
+        x = jnp.take(table_x, idx, axis=0)
+        y = jnp.take(table_y, idx, axis=0)
         flags = (col != 0).astype(jnp.uint32)
         if use_kernel:
-            chains = pallas_msm.comb_chain_sum(rows, flags, g)
+            chains = pallas_msm.comb_chain_sum(x, y, flags, g)
             s = _sum_halving(F, chains, axis=1)  # (B, D) x3
         else:
-            s = _chain_sum_xla(F, rows, flags)
+            s = _chain_sum_xla(F, x, y, flags)
         acc = ops.pdouble(F, acc)
         return ops.padd(F, acc, s), None
 

@@ -170,11 +170,11 @@ def comb_available(n: int, batch: int, g: int = COMB_CHAIN) -> bool:
     return jax.default_backend() != "cpu" and not L._NO_PALLAS
 
 
-def comb_chain_sum(xy: jax.Array, flags: jax.Array, g: int = COMB_CHAIN):
+def comb_chain_sum(x: jax.Array, y: jax.Array, flags: jax.Array, g: int = COMB_CHAIN):
     """Sum each chain of g consecutive gathered table rows.
 
-    xy: (B, N, 2*D) u32 — affine (x digits, y digits) rows; flags: (B, N)
-    u32 non-identity flags.  Returns a projective tuple of (B, N//g, D)
+    x/y: (B, N, D) u32 affine coordinate rows; flags: (B, N) u32
+    non-identity flags.  Returns a projective tuple of (B, N//g, D)
     chain totals (the short XLA halving tree in comb.py finishes the sum).
     """
     from ..fields.specs import FP
@@ -183,10 +183,13 @@ def comb_chain_sum(xy: jax.Array, flags: jax.Array, g: int = COMB_CHAIN):
     B, N = flags.shape
     chains = N // g
     lanes = B * chains
-    # (B, N, 2D) -> (B, chains, g, 2D) -> (g, D, B*chains) per coord
-    r = xy.reshape(B, chains, g, 2 * D)
-    xs = jnp.transpose(r[..., :D], (2, 3, 0, 1)).reshape(1, g * D, lanes)
-    ys = jnp.transpose(r[..., D:], (2, 3, 0, 1)).reshape(1, g * D, lanes)
+    # (B, N, D) -> (B, chains, g, D) -> (g, D, B*chains) per coord
+    xs = jnp.transpose(x.reshape(B, chains, g, D), (2, 3, 0, 1)).reshape(
+        1, g * D, lanes
+    )
+    ys = jnp.transpose(y.reshape(B, chains, g, D), (2, 3, 0, 1)).reshape(
+        1, g * D, lanes
+    )
     fl = jnp.transpose(
         flags.reshape(B, chains, g).astype(jnp.uint32), (2, 0, 1)
     ).reshape(1, g, lanes)

@@ -103,7 +103,7 @@ def _sharded_commit_comb_prog(mesh, h: int, n: int):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(AXIS)),
+        in_specs=((P(), P()), P(AXIS)),  # (x, y) table planes replicated
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     )
     def run(table, scal):

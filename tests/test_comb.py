@@ -62,8 +62,8 @@ def test_column_digits_reconstruct():
 
 def test_table_entries_match_oracle(osetup, table):
     """T[i][j] = sum_k j_k * 2^(k*d) * P_i, spot-checked in affine."""
-    tab = np.asarray(table)
-    assert tab.shape == (N << H, 2 * FP.n_digits)
+    tx, ty = (np.asarray(c) for c in table)
+    assert tx.shape == ty.shape == (N << H, FP.n_digits)
     for _ in range(12):
         i = rng.randrange(N)
         j = rng.randrange(1 << H)
@@ -74,13 +74,13 @@ def test_table_entries_match_oracle(osetup, table):
                     want,
                     oc.g1_mul(osetup.g1_lagrange_brp[i], 1 << (k * D_COLS)),
                 )
-        row = tab[(i << H) + j]
+        r = (i << H) + j
         if j == 0:
-            assert (row[: FP.n_digits] == 0).all()
-            assert (row[FP.n_digits :] == np.asarray(FP.one_mont)).all()
+            assert (tx[r] == 0).all()
+            assert (ty[r] == np.asarray(FP.one_mont)).all()
             continue
-        x = FP.to_int(row[: FP.n_digits], mont=True)
-        y = FP.to_int(row[FP.n_digits :], mont=True)
+        x = FP.to_int(tx[r], mont=True)
+        y = FP.to_int(ty[r], mont=True)
         wx, wy = oc.g1_to_affine(want)
         assert (x, y) == (wx, wy), f"table entry ({i},{j}) mismatch"
 
@@ -148,21 +148,22 @@ def test_chain_sum_kernel_matches_xla(monkeypatch):
     n, B = 64, 64  # lanes = B * n/g = 512 = one tile
     base = [oc.g1_mul(oc.G1_GEN, rng.randrange(1, of.R)) for _ in range(8)]
     aff = [oc.g1_to_affine(p) for p in (base * 8)[:n]]
-    rows_one = np.stack(
-        [
-            np.concatenate([FP.from_int(x), FP.from_int(y)])
-            for (x, y) in aff
-        ]
-    )  # (n, 48) Montgomery affine
-    rows = jnp.asarray(np.broadcast_to(rows_one, (B, n, 48)).copy())
+    one_arr = np.asarray(FP.one_mont, dtype=np.uint32)
     flags_np = (np.random.default_rng(3).random((B, n)) > 0.25).astype(np.uint32)
     flags_np[:, 0] = 0  # guaranteed identity lanes
-    flags = jnp.asarray(flags_np)
+    x_one = np.stack([FP.from_int(x) for (x, _) in aff])
+    y_one = np.stack([FP.from_int(y) for (_, y) in aff])
+    xs = np.broadcast_to(x_one, (B, n, 24)).copy()
+    ys = np.broadcast_to(y_one, (B, n, 24)).copy()
+    # identity rows where flag == 0, as the table stores them
+    xs = np.where(flags_np[..., None] > 0, xs, 0).astype(np.uint32)
+    ys = np.where(flags_np[..., None] > 0, ys, one_arr).astype(np.uint32)
+    xs, ys, flags = jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(flags_np)
 
     assert pallas_msm.comb_available(n, B, g)
-    chains = pallas_msm.comb_chain_sum(rows, flags, g)
+    chains = pallas_msm.comb_chain_sum(xs, ys, flags, g)
     got = comb._sum_halving(F1, chains, axis=1)
-    want = comb._chain_sum_xla(F1, rows, flags)
+    want = comb._chain_sum_xla(F1, xs, ys, flags)
     same = np.asarray(ops.peq(F1, got, want))
     assert same.shape == (B,)
     assert same.all()
