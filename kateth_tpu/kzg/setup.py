@@ -199,9 +199,29 @@ class DeviceSetup:
         use_device = mode == "device" or (
             mode != "oracle" and jax.default_backend() != "cpu"
         )
+        out = None
         if use_device:
-            out = cls._load_json_device(raw, config)
-        else:
+            from ..oracle.kzg import KzgError
+
+            try:
+                out = cls._load_json_device(raw, config)
+            except KzgError as e:
+                if mode == "device":
+                    raise
+                # A device-side rejection can be a TPU miscompile rather
+                # than a bad setup (observed r5: the G2 decompress graph
+                # rejects the valid mainnet setup on v5e while bit-exact
+                # on CPU).  The host oracle is the validation authority:
+                # recheck there — it raises KzgError itself on genuinely
+                # invalid points, so bad setups still fail loudly.
+                import sys
+
+                print(
+                    f"# kateth: device setup validation rejected ({e}); "
+                    "rechecking on the host oracle",
+                    file=sys.stderr,
+                )
+        if out is None:
             from ..oracle.kzg import OracleSetup
 
             osetup = OracleSetup.load_json(path, n=config.n, g2_len=config.g2_len)

@@ -207,3 +207,36 @@ def test_coefficients_noncanonical_rejects(kzg):
     bad = [of.R.to_bytes(32, "big")] + [bytes(32)] * (N - 1)
     with pytest.raises(KzgError):
         kzg.coefficients_to_blobs([bad])
+
+
+def test_load_json_device_rejection_falls_back_to_oracle(osetup, monkeypatch, tmp_path):
+    """A device-side setup rejection is rechecked on the host oracle
+    (r5: the G2 decompress graph rejected the valid mainnet setup on
+    v5e while bit-exact on CPU).  The oracle remains the validation
+    authority: KATETH_SETUP_LOAD=device forces the device verdict."""
+    import jax
+
+    path = str(tmp_path / "setup.json")
+    with open(path, "w") as f:
+        f.write("{}")  # content only feeds the cache hash; loaders are patched
+    cfg = KzgConfig(n=N, g2_len=2)
+
+    def boom(cls_raw, config):
+        raise KzgError("invalid G2 point in trusted setup")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        DeviceSetup, "_load_json_device", classmethod(lambda cls, raw, config: boom(raw, config))
+    )
+    monkeypatch.setattr(
+        OracleSetup,
+        "load_json",
+        staticmethod(lambda p, n=None, g2_len=None: osetup),
+    )
+    out = DeviceSetup.load_json(path, config=cfg, cache_dir=None)
+    want = DeviceSetup.from_oracle(osetup, cfg)
+    assert np.array_equal(np.asarray(out.g1x), np.asarray(want.g1x))
+
+    monkeypatch.setenv("KATETH_SETUP_LOAD", "device")
+    with pytest.raises(KzgError):
+        DeviceSetup.load_json(path, config=cfg, cache_dir=None)

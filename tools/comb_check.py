@@ -39,15 +39,31 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from kateth_tpu.kzg import Kzg
+    from kateth_tpu.kzg import DeviceSetup, Kzg
     from kateth_tpu.kzg.setup import DEFAULT_TRUSTED_SETUP
     from kateth_tpu.oracle import field as of
     from kateth_tpu.oracle.kzg import blob_to_bytes
 
     B, N = 64, 4096
     record("platform", jax.devices()[0].platform)
+
+    # Load via the cached host-oracle pickle when present (same scheme as
+    # bench.py): skips the device decompression compile entirely, and the
+    # oracle is needed below for the bit-exact check anyway.
+    import hashlib
+    import pickle
+
+    with open(DEFAULT_TRUSTED_SETUP, "rb") as f:
+        key = hashlib.sha256(f.read()).hexdigest()[:16]
+    ocache = os.path.join(REPO, ".cache", f"oracle_setup_{key}.pkl")
+    osetup = None
     t0 = time.time()
-    kzg = Kzg.load_json(DEFAULT_TRUSTED_SETUP)
+    if os.path.exists(ocache):
+        with open(ocache, "rb") as f:
+            osetup = pickle.load(f)
+        kzg = Kzg(DeviceSetup.from_oracle(osetup))
+    else:
+        kzg = Kzg.load_json(DEFAULT_TRUSTED_SETUP)
     record("setup_load_s", round(time.time() - t0, 1))
     record("comb_h", kzg.config.comb_h)
 
@@ -65,16 +81,7 @@ def main() -> None:
     record("first_commit_call_s", round(time.time() - t0, 1))
 
     # bit-exact check vs the host oracle on blob 0
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    import hashlib
-    import pickle
-
-    with open(DEFAULT_TRUSTED_SETUP, "rb") as f:
-        key = hashlib.sha256(f.read()).hexdigest()[:16]
-    ocache = os.path.join(REPO, ".cache", f"oracle_setup_{key}.pkl")
-    if os.path.exists(ocache):
-        with open(ocache, "rb") as f:
-            osetup = pickle.load(f)
+    if osetup is not None:
         want = osetup.blob_to_commitment(blobs[0])
         record("oracle_check", "PASS" if cms[0] == want else "FAIL")
         if cms[0] != want:
@@ -94,7 +101,7 @@ def main() -> None:
     t0 = time.time()
     proofs = kzg.compute_blob_kzg_proofs(blobs, cms)
     record("first_prove_call_s", round(time.time() - t0, 1))
-    if os.path.exists(ocache):
+    if osetup is not None:
         wantp = osetup.blob_proof(blobs[0], cms[0])
         record("oracle_proof_check", "PASS" if proofs[0] == wantp else "FAIL")
         if proofs[0] != wantp:
